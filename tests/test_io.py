@@ -1,0 +1,66 @@
+"""Parity tests: scale_sample / gender_correct / npz round-trips."""
+
+import numpy as np
+import pytest
+
+from synthetic import CohortSim
+from wisecondorx_tpu.io import npz as io_npz
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return CohortSim(binsize=5e3, genome_scale=0.002, seed=7)
+
+
+def test_scale_sample_matches_reference(ref_modules, sim):
+    sample = sim.sample("M")
+    ours = io_npz.scale_sample(dict(sample), 5000, 100000)
+    theirs = ref_modules["overall_tools"].scale_sample(
+        dict(sample), 5000, 100000
+    )
+    assert set(ours) == set(theirs)
+    for k in ours:
+        np.testing.assert_array_equal(ours[k], theirs[k])
+        assert ours[k].dtype == np.int32
+
+
+def test_scale_sample_noop():
+    s = {"1": np.arange(10, dtype=np.int32)}
+    assert io_npz.scale_sample(s, 100, 100) is s
+    assert io_npz.scale_sample(s, 100, None) is s
+
+
+def test_scale_sample_invalid():
+    s = {"1": np.arange(10, dtype=np.int32)}
+    with pytest.raises(io_npz.BinScalingError):
+        io_npz.scale_sample(s, 300, 500)
+    with pytest.raises(io_npz.BinScalingError):
+        io_npz.scale_sample(s, 500, 300)
+
+
+def test_gender_correct_matches_reference(ref_modules, sim):
+    sample = sim.sample("M")
+    ours = io_npz.gender_correct(
+        {k: v.copy() for k, v in sample.items()}, "M"
+    )
+    theirs = ref_modules["overall_tools"].gender_correct(
+        {k: v.copy() for k, v in sample.items()}, "M"
+    )
+    for k in ours:
+        np.testing.assert_array_equal(ours[k], theirs[k])
+    # F samples untouched
+    ours_f = io_npz.gender_correct(
+        {k: v.copy() for k, v in sample.items()}, "F"
+    )
+    np.testing.assert_array_equal(ours_f["23"], sample["23"])
+
+
+def test_sample_npz_roundtrip(tmp_path, sim):
+    sample = sim.sample("F")
+    path = tmp_path / "s.npz"
+    io_npz.save_sample_npz(path, 5000, sample, {"mapped": 123})
+    loaded, binsize, quality = io_npz.load_sample_npz(path)
+    assert binsize == 5000
+    assert quality == {"mapped": 123}
+    for k in sample:
+        np.testing.assert_array_equal(loaded[k], sample[k])

@@ -1,0 +1,169 @@
+"""Persistence: .npz schemas bit-compatible with the reference tool.
+
+Two on-disk artifacts exist (SURVEY.md section 2.10/2.14):
+
+* **sample npz** (output of ``convert``): keys ``binsize`` (scalar),
+  ``sample`` (0-d object array holding dict chr-name -> int32 counts) and
+  ``quality`` (0-d object array holding the read-filter QC dict)
+  — reference main.py:33-35.
+
+* **reference npz** (output of ``newref``): keys ``binsize, mask,
+  bins_per_chr, masked_bins_per_chr, masked_bins_per_chr_cum,
+  pca_components, pca_mean, indexes, distances, null_ratios`` plus ``.F`` /
+  ``.M`` suffixed variants for the gonosomal passes and scalars
+  ``has_female, has_male, is_nipt, trained_cutoff``
+  — reference newref_control.py:220-237.
+
+Keeping the formats identical lets a reference npz drive our predictor (and
+vice versa), which is the basis of the parity test-suite.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+
+class BinScalingError(ValueError):
+    """Raised on an impossible binsize rescale request."""
+
+
+def scale_sample(sample: dict, from_size: int, to_size: int | None) -> dict:
+    """Sum counts into coarser bins.
+
+    Semantics of reference overall_tools.py:19-40: a no-op when ``to_size``
+    is falsy or equal to ``from_size``; otherwise ``to_size`` must be a
+    positive multiple of ``from_size``.  Block-sums each chromosome's counts
+    (vectorized here instead of the reference's per-bin Python loop).
+    """
+    if not to_size or from_size == to_size:
+        return sample
+    if (
+        to_size == 0
+        or from_size == 0
+        or to_size < from_size
+        or to_size % from_size > 0
+    ):
+        raise BinScalingError(
+            f"Impossible binsize scaling requested: {int(from_size)} "
+            f"to {int(to_size)}"
+        )
+
+    scale = int(to_size // from_size)
+    out = {}
+    for chr_name, chr_data in sample.items():
+        chr_data = np.asarray(chr_data)
+        new_len = int(np.ceil(len(chr_data) / float(scale)))
+        padded = np.zeros(new_len * scale, dtype=np.int64)
+        padded[: len(chr_data)] = chr_data
+        out[chr_name] = (
+            padded.reshape(new_len, scale).sum(axis=1).astype(np.int32)
+        )
+    return out
+
+
+def gender_correct(sample: dict, gender: str) -> dict:
+    """Rescale gonosomal reads to diploid scale for males.
+
+    Reference overall_tools.py:48-53: for "M" samples chrX ("23") and chrY
+    ("24") counts are doubled; mutates and returns the dict (matching the
+    reference's in-place behavior).
+    """
+    if gender == "M":
+        sample["23"] = sample["23"] * 2
+        sample["24"] = sample["24"] * 2
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# Sample npz
+# ---------------------------------------------------------------------------
+
+
+def save_sample_npz(path, binsize, sample: dict, quality: dict) -> None:
+    """Write a convert-stage sample npz (reference main.py:33-35)."""
+    np.savez_compressed(path, binsize=binsize, sample=sample, quality=quality)
+
+
+def load_sample_npz(path):
+    """Load a convert-stage sample npz.
+
+    Returns (sample dict chr->int32 array, binsize int, quality dict|None).
+    """
+    npz = np.load(path, encoding="latin1", allow_pickle=True)
+    sample = npz["sample"].item()
+    binsize = int(np.atleast_1d(npz["binsize"])[0])
+    quality = npz["quality"].item() if "quality" in npz else None
+    return sample, binsize, quality
+
+
+# ---------------------------------------------------------------------------
+# Reference npz
+# ---------------------------------------------------------------------------
+
+#: Keys stored per gender pass, matching reference newref_control.py:176-189.
+PASS_KEYS = (
+    "binsize",
+    "mask",
+    "bins_per_chr",
+    "masked_bins_per_chr",
+    "masked_bins_per_chr_cum",
+    "pca_components",
+    "pca_mean",
+    "indexes",
+    "distances",
+    "null_ratios",
+)
+
+
+def save_reference_npz(
+    path,
+    passes: dict,
+    *,
+    is_nipt: bool,
+    trained_cutoff: float,
+) -> None:
+    """Write the final merged reference npz.
+
+    ``passes`` maps gender pass id ("A", "F", "M") to a dict holding the
+    :data:`PASS_KEYS` arrays for that pass.  Key suffixing matches reference
+    newref_control.py:220-237: the "A" pass is stored unsuffixed, "F"/"M"
+    passes get ``.F`` / ``.M`` appended.
+    """
+    final = {
+        "has_female": "F" in passes,
+        "has_male": "M" in passes,
+        "is_nipt": is_nipt,
+        "trained_cutoff": trained_cutoff,
+    }
+    for gender, arrays in passes.items():
+        suffix = "" if gender == "A" else f".{gender}"
+        for key in PASS_KEYS:
+            if key not in arrays:
+                raise KeyError(f"pass {gender!r} missing key {key!r}")
+            final[f"{key}{suffix}"] = arrays[key]
+    np.savez_compressed(path, **final)
+    logging.info("Reference written to %s", path)
+
+
+def load_reference_npz(path):
+    """Load a reference npz into {'A': {...}, 'F': {...}, 'M': {...}} + meta.
+
+    Accepts files produced by either this package or the reference tool.
+    Returns (passes dict, meta dict with is_nipt/trained_cutoff/has_*).
+    """
+    npz = np.load(path, encoding="latin1", allow_pickle=True)
+    meta = {
+        "is_nipt": bool(npz["is_nipt"]),
+        "trained_cutoff": float(npz["trained_cutoff"]),
+        "has_female": bool(npz["has_female"]),
+        "has_male": bool(npz["has_male"]),
+    }
+    passes = {}
+    for gender in ("A", "F", "M"):
+        suffix = "" if gender == "A" else f".{gender}"
+        if f"bins_per_chr{suffix}" not in npz:
+            continue
+        passes[gender] = {key: npz[f"{key}{suffix}"] for key in PASS_KEYS}
+    return passes, meta

@@ -1,0 +1,73 @@
+"""PCA between-sample normalization — Gram-matrix form for the MXU.
+
+The reference fits sklearn ``PCA(n_components=5)`` on the samples x bins
+matrix and divides each sample by its rank-5 reconstruction
+(newref_tools.py:138-147); predict-side, the stored components/mean rebuild
+the projection for the single test sample (predict_tools.py:56-65).
+
+TPU-first formulation: with X the centered samples x bins matrix, the top-k
+right singular vectors are obtained from the k principal eigenvectors of the
+small S x S Gram matrix ``X X^T`` (one MXU matmul + a tiny eigh), avoiding a
+200k-column SVD.  ``components_[j] = u_j^T X / ||u_j^T X||`` is unit-norm by
+construction and the reconstruction ``U U^T X + mean`` is numerically
+identical to sklearn's ``inverse_transform(transform(.))`` up to fp error,
+including in the rank-deficient case (n_samples == n_components) where the
+trailing singular value vanishes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_components",))
+def _fit_kernel(data_bs, n_components: int):
+    """data_bs: [bins, samples]; returns (corrected_bs, components, mean)."""
+    x = data_bs.T  # [samples, bins]
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    gram = jnp.dot(xc, xc.T, preferred_element_type=xc.dtype)  # [S, S]
+    eigvals, eigvecs = jnp.linalg.eigh(gram)  # ascending
+    u = eigvecs[:, ::-1][:, :n_components]  # [S, k] principal first
+    v = jnp.dot(u.T, xc, preferred_element_type=xc.dtype)  # [k, bins]
+    norms = jnp.linalg.norm(v, axis=1, keepdims=True)
+    components = v / jnp.where(norms > 0, norms, 1.0)  # unit rows
+    # Reconstruction is U U^T Xc + mean — independent of singular values.
+    reconstructed = jnp.dot(
+        u, jnp.dot(u.T, xc, preferred_element_type=xc.dtype),
+        preferred_element_type=xc.dtype,
+    ) + mean
+    corrected = x / reconstructed
+    return corrected.T, components, mean
+
+
+def train_pca(data_bs: np.ndarray, n_components: int = 5):
+    """Fit PCA on [bins, samples] data; divide out the rank-k reconstruction.
+
+    Returns (pca_corrected [bins, samples], components [k, bins], mean [bins]).
+    """
+    corrected, components, mean = _fit_kernel(
+        jnp.asarray(data_bs), n_components
+    )
+    return np.asarray(corrected), np.asarray(components), np.asarray(mean)
+
+
+@jax.jit
+def project_sample(sample_bins, components, mean):
+    """Divide a test sample by its PCA reconstruction.
+
+    Matches reference predict_tools.py:56-65: ``transform`` is
+    ``(x - mean) @ components^T`` and the reconstruction adds the mean back.
+    Two small matvecs — XLA fuses these into the surrounding predict graph.
+    """
+    coeffs = jnp.dot(
+        sample_bins - mean, components.T, preferred_element_type=sample_bins.dtype
+    )
+    reconstructed = jnp.dot(
+        coeffs, components, preferred_element_type=sample_bins.dtype
+    ) + mean
+    return sample_bins / reconstructed
