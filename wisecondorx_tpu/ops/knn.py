@@ -1,0 +1,221 @@
+"""Within-sample reference search: per-bin K nearest neighbours.
+
+This replaces the reference's O(bins^2 x samples) pure-Python bisect
+insertion loop (newref_tools.py:255-278) — the documented scaling wall at
+small bin sizes (reference README.md:10-11) — with a tiled kernel:
+
+* squared distances arrive as one MXU matmul per (row-block, column-block):
+  ``D = ||t||^2 + ||c||^2 - 2 t @ c^T``;
+* a running per-row top-k (smallest distance) is merged block-by-block with
+  a stable ``lax.top_k``, which reproduces the reference's tie behavior
+  exactly: the bisect insertion keeps equal-distance candidates ordered by
+  scan position, and stable top-k over [running | new-block] does the same
+  because every new block's excluded-space indexes are strictly larger than
+  anything already held;
+* candidates on the target's own chromosome are excluded with an +inf mask
+  instead of the reference's per-chromosome array concatenation
+  (newref_tools.py:192-199), but reported neighbour indexes remain in the
+  reference's own-chromosome-excluded coordinate space so the npz artifacts
+  stay interchangeable.
+
+Reference-parity details preserved: candidates with distance >= 1e10 are
+never selected (the reference's ``cur_max`` starts at 1e10); unfilled slots
+report index -1 / distance 1e10 (the reference's initial list contents).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: The reference's initial "infinite" distance (newref_tools.py:262,267).
+SENTINEL_DISTANCE = 1e10
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_size", "col_tile", "row_offset_static")
+)
+def _knn_kernel(
+    rows,  # [R, S] target-bin vectors
+    data,  # [N_pad, S] all candidate vectors (zero-padded to col_tile)
+    row_chr,  # int32[R] chromosome id per target row
+    col_chr,  # int32[N_pad] chromosome id per candidate (-2 for padding)
+    chr_starts,  # int32[n_chr] first masked index of each chromosome
+    chr_sizes,  # int32[n_chr] masked bins per chromosome
+    n_valid,  # scalar int32: true candidate count
+    ref_size: int,
+    col_tile: int,
+    row_offset_static: int = 0,
+):
+    dtype = rows.dtype
+    R = rows.shape[0]
+    n_blocks = data.shape[0] // col_tile
+
+    row_norms = jnp.sum(rows * rows, axis=1)  # [R]
+    col_norms = jnp.sum(data * data, axis=1)  # [N_pad]
+    row_start = chr_starts[row_chr]  # [R]
+    row_size = chr_sizes[row_chr]  # [R]
+
+    data_blocks = data.reshape(n_blocks, col_tile, -1)
+    norm_blocks = col_norms.reshape(n_blocks, col_tile)
+    chr_blocks = col_chr.reshape(n_blocks, col_tile)
+
+    init_vals = jnp.full((R, ref_size), jnp.inf, dtype=dtype)
+    init_idx = jnp.full((R, ref_size), -1, dtype=jnp.int32)
+
+    def body(carry, block):
+        run_vals, run_idx = carry
+        blk_data, blk_norms, blk_chr, blk_id = block
+        g0 = blk_id * col_tile
+        g = g0 + jax.lax.broadcasted_iota(jnp.int32, (1, col_tile), 1)  # [1,C]
+
+        # [R, C] distances via MXU.
+        d = (
+            row_norms[:, None]
+            + blk_norms[None, :]
+            - 2.0
+            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype)
+        )
+        same_chr = row_chr[:, None] == blk_chr[None, :]
+        invalid = (
+            same_chr
+            | (g >= n_valid)
+            | (d >= SENTINEL_DISTANCE)
+        )
+        d = jnp.where(invalid, jnp.inf, d)
+
+        # Excluded-space index of each candidate for each row.
+        excl = g - jnp.where(g >= row_start[:, None], row_size[:, None], 0)
+        excl = excl.astype(jnp.int32)
+
+        merged_vals = jnp.concatenate([run_vals, d], axis=1)
+        merged_idx = jnp.concatenate([run_idx, excl], axis=1)
+        # Stable top-k of the smallest distances.
+        neg_top, arg = jax.lax.top_k(-merged_vals, ref_size)
+        new_idx = jnp.take_along_axis(merged_idx, arg, axis=1)
+        return (-neg_top, new_idx), None
+
+    (vals, idx), _ = jax.lax.scan(
+        body,
+        (init_vals, init_idx),
+        (
+            data_blocks,
+            norm_blocks,
+            chr_blocks,
+            jnp.arange(n_blocks, dtype=jnp.int32),
+        ),
+    )
+
+    unfilled = jnp.isinf(vals)
+    distances = jnp.where(unfilled, jnp.asarray(SENTINEL_DISTANCE, dtype), vals)
+    indexes = jnp.where(unfilled, -1, idx)
+    return indexes, distances
+
+
+def _pad_cols(data, col_tile):
+    n = data.shape[0]
+    n_pad = -(-n // col_tile) * col_tile
+    if n_pad == n:
+        return data
+    pad = np.zeros((n_pad - n, data.shape[1]), dtype=data.dtype)
+    return np.concatenate([data, pad], axis=0)
+
+
+def knn_search(
+    data: np.ndarray,
+    chr_of_bin: np.ndarray,
+    masked_chr_starts: np.ndarray,
+    masked_bins_per_chr: np.ndarray,
+    ref_size: int = 300,
+    row_range: tuple[int, int] | None = None,
+    col_tile: int = 1024,
+    row_tile: int | None = None,
+):
+    """Exact per-bin K nearest neighbours over other-chromosome bins.
+
+    Parameters
+    ----------
+    data : [n_masked, n_samples] PCA-corrected bin vectors.
+    chr_of_bin : int[n_masked] chromosome id per masked bin.
+    masked_chr_starts, masked_bins_per_chr : per-chromosome layout tables.
+    row_range : optional (start, end) restricting which target rows are
+        searched (used by the gonosomal passes and by sharding).
+
+    Returns (indexes int32[rows, ref_size], distances [rows, ref_size]) with
+    indexes in own-chromosome-excluded space.
+    """
+    n = data.shape[0]
+    r0, r1 = row_range if row_range is not None else (0, n)
+
+    data_p = _pad_cols(np.asarray(data), col_tile)
+    col_chr = np.full(data_p.shape[0], -2, dtype=np.int32)
+    col_chr[:n] = chr_of_bin
+    starts = jnp.asarray(masked_chr_starts, dtype=jnp.int32)
+    sizes = jnp.asarray(masked_bins_per_chr, dtype=jnp.int32)
+    data_j = jnp.asarray(data_p)
+    col_chr_j = jnp.asarray(col_chr)
+
+    row_tile = row_tile or (r1 - r0)
+    out_idx = []
+    out_dist = []
+    for s in range(r0, r1, row_tile):
+        e = min(s + row_tile, r1)
+        idx, dist = _knn_kernel(
+            data_j[s:e],
+            data_j,
+            col_chr_j[s:e],
+            col_chr_j,
+            starts,
+            sizes,
+            jnp.int32(n),
+            ref_size=ref_size,
+            col_tile=col_tile,
+        )
+        out_idx.append(np.asarray(idx))
+        out_dist.append(np.asarray(dist))
+    return np.concatenate(out_idx), np.concatenate(out_dist)
+
+
+def compute_null_ratios(
+    data: np.ndarray,
+    indexes: np.ndarray,
+    sample_ids: np.ndarray,
+) -> np.ndarray:
+    """Null log2 ratios for the chosen reference samples.
+
+    Reference newref_tools.py:210-224: for each chosen sample s and each bin
+    b, ``r = log2(data[b, s] / median(data[indexes[b], s]))``.
+
+    Parity quirk reproduced deliberately (SURVEY.md 2.12): ``indexes`` are in
+    own-chromosome-excluded space but are applied directly to the full
+    masked-space sample vector, including the reference's numpy behavior of
+    index -1 wrapping to the last bin.
+    """
+    data = np.asarray(data)
+    indexes = np.asarray(indexes)
+    n = data.shape[0]
+    sub = data[:, sample_ids]  # [bins, chosen]
+    out = np.empty((indexes.shape[0], len(sample_ids)), dtype=data.dtype)
+    chunk = max(1, 2**28 // (indexes.shape[1] * max(len(sample_ids), 1) * 8))
+    for s in range(0, indexes.shape[0], chunk):
+        e = min(s + chunk, indexes.shape[0])
+        # numpy negative-index wraparound for the -1 sentinel slots.
+        gathered = sub[indexes[s:e] % n]  # [c, k, chosen]
+        medians = np.median(gathered, axis=1)  # [c, chosen]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[s:e] = np.log2(sub[s:e] / medians)
+    return out
+
+
+def choose_null_samples(n_samples: int, rng: np.random.Generator) -> np.ndarray:
+    """Pick min(n_samples, 100) sample columns for the null-ratio table.
+
+    The reference draws them with unseeded ``random.sample``
+    (newref_tools.py:214-218) making builds non-reproducible; we take a
+    seeded Generator.  Column order is irrelevant downstream (segment
+    z-scores aggregate over the chosen-sample axis symmetrically).
+    """
+    return rng.choice(n_samples, size=min(n_samples, 100), replace=False)
