@@ -41,6 +41,7 @@ def ref_modules():
     """
     if REFERENCE_SRC not in sys.path:
         sys.path.insert(0, REFERENCE_SRC)
+    import wisecondorx.newref_control as newref_control
     import wisecondorx.newref_tools as newref_tools
     import wisecondorx.overall_tools as overall_tools
     import wisecondorx.predict_control as predict_control
@@ -48,6 +49,7 @@ def ref_modules():
 
     return {
         "newref_tools": newref_tools,
+        "newref_control": newref_control,
         "overall_tools": overall_tools,
         "predict_tools": predict_tools,
         "predict_control": predict_control,

@@ -1,0 +1,252 @@
+"""Reference model construction (the ``newref`` stage).
+
+Orchestrates the full build mirrored from reference main.py:40-137 and
+newref_control.py, but as one in-memory pipeline over dense arrays instead
+of a chain of temp files and threads:
+
+1. rescale samples to the target bin size;
+2. GMM sex model over chrY fractions;
+3. gender correction (unless NIPT);
+4. usability mask (+ per-sex sub-masks when >=5 samples of that sex);
+5. per pass (A / F / M): depth-normalize over the pass's chromosome range,
+   PCA residual, PCA-distance bin filter, KNN neighbour search, null ratios;
+6. merge into the reference npz schema.
+
+Parity quirk preserved (SURVEY.md 2.9): the PCA-distance filter mutates the
+*shared* total mask through a slice view, so bins dropped by the A pass are
+also absent from the later F/M passes — reference newref_control.py:52-54
+relies on exactly this aliasing.
+
+The reference's thread fan-out over contiguous bin ranges
+(newref_control.py:90-109) is replaced by the tiled TPU kernel in
+:mod:`wisecondorx_tpu.ops.knn`; ``row_tile`` bounds device memory and is
+the natural sharding axis for multi-chip builds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from wisecondorx_tpu.genome import (
+    LAST_CHR,
+    MaskedLayout,
+    samples_to_matrix,
+)
+from wisecondorx_tpu.io.npz import gender_correct, scale_sample
+from wisecondorx_tpu.ops import knn as knn_ops
+from wisecondorx_tpu.ops import mask as mask_ops
+from wisecondorx_tpu.ops import pca as pca_ops
+from wisecondorx_tpu.ops.gmm import train_gender_model
+from wisecondorx_tpu.utils.log import stage_timer
+
+
+class NewrefError(RuntimeError):
+    """Raised when a reference cannot be built (e.g. too few samples)."""
+
+
+@dataclasses.dataclass
+class NewrefConfig:
+    binsize: int = int(1e5)
+    refsize: int = 300
+    nipt: bool = False
+    yfrac: float | None = None
+    #: Seed for the null-ratio sample draw and GMM init; the reference is
+    #: unseeded here (newref_tools.py:215) — we default to reproducible.
+    seed: int | None = 0
+    pca_components: int = 5
+    #: Column-block width of the KNN kernel (tune per device).
+    col_tile: int = 2048
+    #: Optional row-block height bounding KNN device memory.
+    row_tile: int | None = None
+    #: Array dtype for the on-device math ("float32" on TPU; tests use
+    #: float64 under jax_enable_x64 for reference parity).
+    dtype: str = "float64"
+
+
+def build_reference(
+    samples_with_binsize: list[tuple[dict, int]],
+    config: NewrefConfig = NewrefConfig(),
+    _null_chooser=None,
+):
+    """Build a normalization reference from negative-control samples.
+
+    Parameters
+    ----------
+    samples_with_binsize : list of (sample dict, binsize) as loaded from
+        convert npz files.
+    _null_chooser : optional callable (gender, n_samples) -> sample id array
+        overriding the seeded null-ratio sample draw (used by parity tests).
+
+    Returns (passes dict for :func:`save_reference_npz`, meta dict).
+    """
+    cfg = config
+    rng = np.random.default_rng(cfg.seed)
+    if _null_chooser is None:
+        _null_chooser = lambda gender, n: knn_ops.choose_null_samples(n, rng)  # noqa: E731
+
+    if cfg.yfrac is not None and not (0 <= cfg.yfrac <= 1):
+        raise NewrefError(
+            "Parameter --yfrac should be a positive number lower than or "
+            "equal to 1"
+        )
+
+    with stage_timer("newref.scale"):
+        samples = [
+            scale_sample(s, bs, cfg.binsize) for s, bs in samples_with_binsize
+        ]
+
+    with stage_timer("newref.gender_model"):
+        genders, trained_cutoff, _fit = train_gender_model(
+            samples, yfrac_override=cfg.yfrac, random_state=cfg.seed
+        )
+
+    nipt = cfg.nipt
+    if genders.count("F") < 5 and nipt:
+        logging.warning(
+            "A NIPT reference should have at least 5 female feti samples. "
+            "Removing --nipt flag."
+        )
+        nipt = False
+    if not nipt:
+        samples = [
+            gender_correct(s, g) for s, g in zip(samples, genders)
+        ]
+
+    if len(genders) <= 9:
+        raise NewrefError(
+            "Provide at least 10 samples to enable the generation of a "
+            "reference."
+        )
+
+    with stage_timer("newref.mask"):
+        matrix, layout = samples_to_matrix(samples)
+        matrix = matrix.astype(cfg.dtype)
+        # np.array (not asarray): jax buffers are read-only and this mask is
+        # mutated in place by the PCA-distance filter.
+        total_mask = np.array(mask_ops.get_mask(matrix))
+        genders_arr = np.array(genders, dtype=object)
+        if genders.count("F") > 4:
+            total_mask &= np.asarray(
+                mask_ops.get_mask(matrix[:, genders_arr == "F"])
+            )
+        if genders.count("M") > 4 and not nipt:
+            total_mask &= np.asarray(
+                mask_ops.get_mask(matrix[:, genders_arr == "M"])
+            )
+
+    passes = {}
+    plan = [("A", np.ones(len(genders), dtype=bool))]
+    if genders.count("F") > 4:
+        plan.append(("F", genders_arr == "F"))
+    else:
+        logging.warning(
+            "Provide at least 5 female samples to enable normalization of "
+            "female gonosomes."
+        )
+    if not nipt:
+        if genders.count("M") > 4:
+            plan.append(("M", genders_arr == "M"))
+        else:
+            logging.warning(
+                "Provide at least 5 male samples to enable normalization of "
+                "male gonosomes."
+            )
+
+    for gender, cols in plan:
+        with stage_timer(f"newref.pass_{gender}"):
+            passes[gender] = _build_pass(
+                gender, matrix[:, cols], layout, total_mask, cfg, _null_chooser
+            )
+
+    meta = {"is_nipt": nipt, "trained_cutoff": trained_cutoff}
+    return passes, meta
+
+
+def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
+    """One reference pass (reference newref_control.py:24-80 + KNN stage).
+
+    ``total_mask`` is mutated in place by the PCA-distance filter — the
+    slice below aliases it exactly like the reference's mask view.
+    """
+    last_chr = LAST_CHR[gender]
+    tl = layout.truncated(last_chr)
+    pass_mask = total_mask[: tl.total_bins]  # view — aliasing is intentional
+
+    corrected, components, mean = _normalize_and_pca(matrix, tl, pass_mask, cfg)
+
+    # PCA-distance bin filter (reference-fork addition,
+    # newref_control.py:38-58): drop bins far from the median profile.
+    med_prof = np.median(corrected, axis=0)
+    dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
+    mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
+    cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
+    bad_bins = dist_to_med > cutoff
+    if np.any(bad_bins):
+        logging.info(
+            "Removing %d anomalous bins based on PCA distance (cutoff=%.4f)",
+            int(bad_bins.sum()),
+            cutoff,
+        )
+        masked_indices = np.where(pass_mask)[0]
+        pass_mask[masked_indices[bad_bins]] = False  # mutates total_mask
+        corrected, components, mean = _normalize_and_pca(
+            matrix, tl, pass_mask, cfg
+        )
+
+    ml = MaskedLayout(tl, pass_mask.copy())
+    n_masked = ml.n_masked
+
+    if gender == "A":
+        row_range = None
+    else:
+        # Only gonosome target rows are searched; autosome rows get the
+        # reference's 0-index/1.0-distance placeholders
+        # (newref_tools.py:186-191).
+        row_range = (int(ml.masked_chr_starts[22]), n_masked)
+
+    indexes = np.zeros((n_masked, cfg.refsize), dtype=np.int32)
+    distances = np.ones((n_masked, cfg.refsize), dtype=corrected.dtype)
+    r0 = 0 if row_range is None else row_range[0]
+    idx, dist = knn_ops.knn_search(
+        corrected,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=cfg.refsize,
+        row_range=row_range,
+        col_tile=cfg.col_tile,
+        row_tile=cfg.row_tile,
+    )
+    indexes[r0:] = idx
+    distances[r0:] = dist
+
+    chosen = np.asarray(null_chooser(gender, corrected.shape[1]))
+    null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)
+
+    return {
+        "binsize": cfg.binsize,
+        "mask": ml.mask,
+        "bins_per_chr": np.asarray(tl.bins_per_chr),
+        "masked_bins_per_chr": ml.masked_bins_per_chr,
+        "masked_bins_per_chr_cum": ml.masked_bins_per_chr_cum,
+        "pca_components": components,
+        "pca_mean": mean,
+        "indexes": indexes,
+        "distances": distances,
+        "null_ratios": null_ratios,
+    }
+
+
+def _normalize_and_pca(matrix, tl, pass_mask, cfg):
+    """Depth-normalize over the pass's chromosome range, mask, PCA-correct.
+
+    Matches reference newref_tools.py:110-129 + 138-147: per-sample totals
+    are taken over chromosomes 1..last_chr only (not the whole genome).
+    """
+    sub = matrix[: tl.total_bins]
+    normed = np.asarray(mask_ops.depth_normalize(sub))
+    masked = normed[pass_mask]
+    return pca_ops.train_pca(masked, cfg.pca_components)
