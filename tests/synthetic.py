@@ -60,6 +60,11 @@ class CohortSim:
         the diploid baseline at copies=2 (autosomes).
         """
         counts = {}
+        # Per-sample depth and chrY mis-mapping variability widen the
+        # y-fraction clusters realistically (a perfectly tight cluster makes
+        # the GMM inter-mode density underflow).
+        depth = float(np.exp(self.rng.normal(0.0, 0.25)))
+        y_noise = float(self.rng.uniform(0.01, 0.06))
         for c in range(24):
             chrom = c + 1
             if chrom <= 22:
@@ -67,8 +72,8 @@ class CohortSim:
             elif chrom == 23:
                 copies = 2.0 if gender == "F" else 1.0
             else:
-                copies = 0.02 if gender == "F" else 1.0  # mis-mapping noise
-            lam = self.mean_reads * self.bias[c] * (copies / 2.0)
+                copies = 2 * y_noise if gender == "F" else self.rng.uniform(0.8, 1.1)
+            lam = depth * self.mean_reads * self.bias[c] * (copies / 2.0)
             if cnvs:
                 lam = lam.copy()
                 for chr1, s, e, cp in cnvs:

@@ -59,12 +59,23 @@ def train_gender_model(
         cutoff = float(yfrac_override)
     else:
         minima = _strict_local_minima(gmm_y)
-        if len(minima) == 0:
-            raise RuntimeError(
-                "Could not determine a --yfrac cutoff: the Gaussian mixture "
-                "density has no local minimum on [0, 0.02]. Provide --yfrac."
-            )
-        cutoff = float(GRID[minima[0]])
+        if len(minima) > 0:
+            cutoff = float(GRID[minima[0]])
+        else:
+            # Documented fix over the reference: with extremely separated
+            # clusters the mixture density underflows to exactly 0 between
+            # the modes, leaving no *strict* local minimum — the reference
+            # then crashes with IndexError (newref_tools.py:62).  Fall back
+            # to the first interior point of the global-minimum plateau.
+            interior = gmm_y[1:-1]
+            i = int(np.argmin(interior)) + 1
+            if i <= 1 or i >= len(gmm_y) - 2:
+                raise RuntimeError(
+                    "Could not determine a --yfrac cutoff: the Gaussian "
+                    "mixture density is monotone on [0, 0.02]. Provide "
+                    "--yfrac."
+                )
+            cutoff = float(GRID[i])
         logging.info("Determined --yfrac cutoff: %s", round(cutoff, 4))
 
     genders: list = [None] * len(samples)
