@@ -1,0 +1,310 @@
+"""CNA prediction (the ``predict`` stage), up to per-bin results.
+
+Mirrors reference main.py:140-289 orchestration over our kernels:
+coverage-normalize -> PCA-project -> weights/cutoff -> iterative z-masked
+normalization, run once for autosomes and once for the applicable gonosomal
+pass, then combined, post-processed (min-ref-bins zeroing, inflation through
+the mask, per-chromosome split) and log2-transformed.  Segmentation and
+outputs live in :mod:`wisecondorx_tpu.ops.cbs` / ``output``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+from wisecondorx_tpu.io.npz import gender_correct, scale_sample
+from wisecondorx_tpu.ops import normalize as norm_ops
+from wisecondorx_tpu.ops import pca as pca_ops
+from wisecondorx_tpu.ops.gmm import predict_gender
+from wisecondorx_tpu.utils.log import stage_timer
+
+
+class PredictError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class PredictConfig:
+    minrefbins: int = 150
+    maskrepeats: int = 5
+    alpha: float = 1e-4
+    zscore: float = 5.0
+    beta: float | None = None
+    blacklist: str | None = None
+    gender: str | None = None  # force "F"/"M"
+    seed: int | None = None
+
+    def validate(self):
+        if self.zscore <= 0:
+            raise PredictError(
+                "Parameter --zscore should be a strictly positive number"
+            )
+        if self.beta is not None and not (0 < self.beta <= 1):
+            raise PredictError(
+                "Parameter --beta should be a strictly positive number "
+                "lower than or equal to 1"
+            )
+        if not (0 < self.alpha <= 1):
+            raise PredictError(
+                "Parameter --alpha should be a strictly positive number "
+                "lower than or equal to 1"
+            )
+
+
+@dataclasses.dataclass
+class BinResults:
+    """Per-bin predict results on the full (unmasked) bin axis, split per
+    chromosome; the contract of reference ``results`` dict entering CBS."""
+
+    results_r: list  # per chr float arrays (log2 ratios after log_trans)
+    results_z: list
+    results_w: list
+    results_nr: list  # per chr [bins, n_null_samples] arrays
+    ref_gender: str
+    gender: str
+    binsize: int
+    n_reads: int
+    layout: GenomeLayout  # of the ref_gender pass
+    masked_layout: MaskedLayout
+
+
+def _pass_normalize(sample, ref_pass, cfg, ct, cutoff_distances):
+    """One normalization pass (reference predict_control.py:21-39)."""
+    bins_per_chr = np.asarray(ref_pass["bins_per_chr"])
+    mask = np.asarray(ref_pass["mask"], dtype=bool)
+    layout = GenomeLayout(bins_per_chr)
+    ml = MaskedLayout(layout, mask)
+
+    masked_sample = norm_ops.coverage_normalize_and_mask(
+        sample, bins_per_chr, mask
+    )
+    projected = np.asarray(
+        pca_ops.project_sample(
+            masked_sample,
+            np.asarray(ref_pass["pca_components"]),
+            np.asarray(ref_pass["pca_mean"]),
+        )
+    )
+    weights = norm_ops.get_weights(np.asarray(ref_pass["distances"]))[ct:]
+    # Quirk preserved: the cutoff always derives from the *autosomal* pass
+    # distances, even for the gonosomal pass (predict_control.py:34 reads
+    # the unsuffixed "distances" key).
+    optimal_cutoff = norm_ops.get_optimal_cutoff(
+        cutoff_distances, cfg.maskrepeats
+    )
+
+    indexes = np.asarray(ref_pass["indexes"])
+    distances = np.asarray(ref_pass["distances"])
+    global_idx = ml.neighbour_to_global(indexes)
+
+    z, r, ref_sizes, m_lr, m_z = norm_ops.normalize_repeat(
+        projected,
+        global_idx[ct:],
+        distances[ct:],
+        optimal_cutoff,
+        ct=ct,
+    )
+    return z, r, weights, ref_sizes, m_lr, m_z, ml
+
+
+def predict_bins(
+    sample: dict,
+    sample_binsize: int,
+    ref_passes: dict,
+    ref_meta: dict,
+    cfg: PredictConfig = PredictConfig(),
+) -> BinResults:
+    """Produce combined per-bin r/z/w/null-ratio results for a test sample."""
+    cfg.validate()
+
+    n_reads = int(np.sum([np.sum(v) for v in sample.values()]))
+    ref_binsize = int(np.atleast_1d(ref_passes["A"]["binsize"])[0])
+    sample = scale_sample(sample, sample_binsize, ref_binsize)
+
+    gender = predict_gender(sample, ref_meta["trained_cutoff"])
+    if not ref_meta["is_nipt"]:
+        if cfg.gender:
+            gender = cfg.gender
+        sample = gender_correct(sample, gender)
+        ref_gender = gender
+    else:
+        if cfg.gender:
+            gender = cfg.gender
+        ref_gender = "F"
+
+    # Gonosomal-reference fallbacks (reference main.py:195-212).
+    if not ref_meta["is_nipt"]:
+        if not ref_meta["has_male"] and gender == "M":
+            logging.warning(
+                "This sample is male, whilst the reference is created with "
+                "fewer than 5 males. The female gonosomal reference will be "
+                "used for X predictions. Note that these might not be "
+                "accurate. If the latter is desired, create a new reference "
+                "and include more male samples."
+            )
+            ref_gender = "F"
+        elif not ref_meta["has_female"] and gender == "F":
+            logging.warning(
+                "This sample is female, whilst the reference is created "
+                "with fewer than 5 females. The male gonosomal reference "
+                "will be used for XY predictions. Note that these might not "
+                "be accurate. If the latter is desired, create a new "
+                "reference and include more female samples."
+            )
+            ref_gender = "M"
+
+    if ref_gender not in ref_passes:
+        raise PredictError(
+            f"Reference lacks the {ref_gender!r} gonosomal pass required "
+            "for this sample."
+        )
+
+    a_pass = ref_passes["A"]
+    g_pass = ref_passes[ref_gender]
+    cutoff_distances = np.asarray(a_pass["distances"])
+
+    with stage_timer("predict.normalize_autosomes"):
+        z_a, r_a, w_a, sizes_a, m_lr, m_z, _ = _pass_normalize(
+            sample, a_pass, cfg, ct=0, cutoff_distances=cutoff_distances
+        )
+
+    with stage_timer("predict.normalize_gonosomes"):
+        g_cum = np.asarray(g_pass["masked_bins_per_chr_cum"])
+        ct = int(g_cum[21])  # bins before chrX in the gonosomal pass
+        z_g, r_g, w_g, sizes_g, _, _, g_ml = _pass_normalize(
+            sample, g_pass, cfg, ct=ct, cutoff_distances=cutoff_distances
+        )
+
+    # Combine (reference main.py:242-257).
+    results_r = np.concatenate([r_a, r_g])
+    results_z = np.concatenate([z_a, z_g]) - m_z
+    results_w = np.concatenate(
+        [w_a * np.nanmean(w_g), w_g * np.nanmean(w_a)]
+    )
+    results_w = results_w / np.nanmean(results_w)
+    if np.isnan(results_w).any() or np.isinf(results_w).any():
+        logging.warning(
+            "Non-numeric values found in weights -- reference too small. "
+            "Circular binary segmentation and z-scoring will be unweighted"
+        )
+        results_w = np.ones(len(results_w))
+    ref_sizes = np.concatenate([sizes_a, sizes_g])
+
+    null_aut = np.asarray(a_pass["null_ratios"], dtype=np.float64)
+    null_gon = np.asarray(g_pass["null_ratios"], dtype=np.float64)[
+        len(null_aut):
+    ]
+
+    if len(results_r) != g_ml.n_masked:
+        # The reference assumes the autosomal pass and the gonosomal pass
+        # agree on the masked autosome count (main.py:216-219); the shared
+        # mask mutation (newref_control.py:52-54) can break this, in which
+        # case the reference IndexErrors inside inflate_results.
+        raise PredictError(
+            f"Autosomal/gonosomal mask misalignment: combined results have "
+            f"{len(results_r)} bins but the {ref_gender} mask holds "
+            f"{g_ml.n_masked}. Rebuild the reference."
+        )
+
+    with stage_timer("predict.postprocess"):
+        insufficient = ref_sizes < cfg.minrefbins
+
+        def post(values):
+            values = np.array(values)
+            values[insufficient] = 0
+            return g_ml.split_by_chr(g_ml.inflate(values))
+
+        per_chr_r = post(results_r)
+        per_chr_z = post(results_z)
+        per_chr_w = post(results_w)
+
+        if null_aut.shape[1] != null_gon.shape[1]:
+            # The reference handles this via a ragged object array
+            # (main.py:257); downstream only consumes rows within a single
+            # chromosome, so per-pass widths never mix.  Pad the narrower
+            # table with NaN columns — NaNs are masked out of the segment
+            # z-score aggregation (overall_tools.py:101-110) so the result
+            # is identical.
+            width = max(null_aut.shape[1], null_gon.shape[1])
+
+            def pad(a):
+                out = np.full((a.shape[0], width), np.nan)
+                out[:, : a.shape[1]] = a
+                return out
+
+            null_aut, null_gon = pad(null_aut), pad(null_gon)
+        per_chr_nr = post(np.concatenate([null_aut, null_gon]))
+
+        results = _log_trans(per_chr_r, per_chr_z, per_chr_w, per_chr_nr, m_lr)
+
+    if cfg.blacklist:
+        logging.info("Applying blacklist ...")
+        _apply_blacklist(results, cfg.blacklist, ref_binsize)
+
+    return BinResults(
+        results_r=results[0],
+        results_z=results[1],
+        results_w=results[2],
+        results_nr=results[3],
+        ref_gender=ref_gender,
+        gender=gender,
+        binsize=ref_binsize,
+        n_reads=n_reads,
+        layout=g_ml.layout,
+        masked_layout=g_ml,
+    )
+
+
+def _log_trans(per_chr_r, per_chr_z, per_chr_w, per_chr_nr, m_lr):
+    """log2-transform ratios; blacklist non-finite bins; recentre by m_lr
+    (reference predict_tools.py:180-193)."""
+    out_r, out_z, out_w = [], [], []
+    for r, z, w in zip(per_chr_r, per_chr_z, per_chr_w):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lr = np.log2(r)
+        bad = ~np.isfinite(lr)
+        lr[bad] = 0.0
+        z = np.array(z)
+        w = np.array(w)
+        z[bad] = 0.0
+        w[bad] = 0.0
+        nonzero = lr != 0
+        lr[nonzero] -= m_lr
+        out_r.append(lr)
+        out_z.append(z)
+        out_w.append(w)
+    return out_r, out_z, out_w, per_chr_nr
+
+
+def _apply_blacklist(results, blacklist_path, binsize):
+    """Zero r/z/w over blacklisted regions (reference
+    predict_tools.py:202-233)."""
+    out_r, out_z, out_w, _ = results
+    for line in open(blacklist_path):
+        line = line.strip()
+        if not line:
+            continue
+        chr_name, s, e = line.split("\t")[:3]
+        if chr_name[:3].lower() == "chr":
+            chr_name = chr_name[3:]
+        if chr_name == "X":
+            chr_name = "23"
+        if chr_name == "Y":
+            chr_name = "24"
+        chrom = int(chr_name) - 1
+        if len(out_r) < 24 and chrom == 23:
+            continue
+        if chrom >= len(out_r):
+            continue
+        start = int(int(s) / binsize)
+        end = int(int(e) / binsize) + 1
+        for pos in range(start, end):
+            if pos < 0 or pos >= len(out_r[chrom]):
+                continue
+            out_r[chrom][pos] = 0
+            out_z[chrom][pos] = 0
+            out_w[chrom][pos] = 0
