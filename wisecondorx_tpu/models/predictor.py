@@ -259,6 +259,52 @@ def predict_bins(
     )
 
 
+def segment_bins(bins: BinResults, cfg: PredictConfig) -> list:
+    """CBS segmentation + between-sample segment z-scores.
+
+    Returns rows ``[chr0, start, end, segment_z, ratio]`` — the contract of
+    the reference's results_c (predict_tools.py:259-262).
+    """
+    from wisecondorx_tpu.ops import cbs as cbs_ops
+    from wisecondorx_tpu.ops import stats as stats_ops
+
+    with stage_timer("predict.cbs"):
+        cbs_cfg = cbs_ops.CBSConfig(
+            alpha=cfg.alpha, seed=cfg.seed if cfg.seed is not None else 0
+        )
+        results_c = cbs_ops.exec_cbs(
+            bins.results_r,
+            bins.results_w,
+            bins.ref_gender,
+            bins.binsize,
+            cbs_cfg,
+        )
+    with stage_timer("predict.segment_z"):
+        segment_z = stats_ops.get_z_score(
+            results_c, bins.results_r, bins.results_w, bins.results_nr
+        )
+    return [
+        [row[0], row[1], row[2], segment_z[i], row[3]]
+        for i, row in enumerate(results_c)
+    ]
+
+
+def predict(
+    sample: dict,
+    sample_binsize: int,
+    ref_passes: dict,
+    ref_meta: dict,
+    cfg: PredictConfig = PredictConfig(),
+):
+    """Full prediction: per-bin results + segments.
+
+    Returns (BinResults, results_c rows [chr0, s, e, segment_z, ratio]).
+    """
+    bins = predict_bins(sample, sample_binsize, ref_passes, ref_meta, cfg)
+    segments = segment_bins(bins, cfg)
+    return bins, segments
+
+
 def _log_trans(per_chr_r, per_chr_z, per_chr_w, per_chr_nr, m_lr):
     """log2-transform ratios; blacklist non-finite bins; recentre by m_lr
     (reference predict_tools.py:180-193)."""
