@@ -1,0 +1,252 @@
+"""Command-line interface.
+
+Preserves the reference's three-stage UX and flags (reference
+main.py:302-498): ``convert``, ``newref``, ``gender``, ``predict`` — so
+existing WisecondorX pipelines can switch by swapping the executable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+from wisecondorx_tpu.io.npz import (
+    load_reference_npz,
+    load_sample_npz,
+    save_reference_npz,
+    save_sample_npz,
+)
+from wisecondorx_tpu.utils.log import setup_logging
+
+
+def tool_convert(args):
+    from wisecondorx_tpu.io.bam import convert_reads
+
+    logging.info("Starting conversion")
+    sample, qual_info = convert_reads(
+        args.infile,
+        binsize=args.binsize,
+        reference_fasta=args.reference,
+        normdup=args.normdup,
+    )
+    save_sample_npz(args.outfile, args.binsize, sample, qual_info)
+    logging.info("Finished conversion")
+
+
+def tool_newref(args):
+    from wisecondorx_tpu.models.reference import (
+        NewrefConfig,
+        NewrefError,
+        build_reference,
+    )
+    from wisecondorx_tpu.ref_qc import qc_reference
+
+    logging.info("Creating new reference")
+    samples = []
+    for infile in args.infiles:
+        logging.info("Loading: %s", infile)
+        sample, binsize, _ = load_sample_npz(infile)
+        logging.info("Binsize: %d", binsize)
+        samples.append((sample, binsize))
+
+    cfg = NewrefConfig(
+        binsize=int(args.binsize),
+        refsize=args.refsize,
+        nipt=args.nipt,
+        yfrac=args.yfrac,
+        seed=args.seed,
+    )
+    try:
+        passes, meta = build_reference(samples, cfg)
+    except NewrefError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+
+    outfile = args.outfile
+    if not outfile.endswith(".npz"):
+        outfile += ".npz"
+    save_reference_npz(
+        outfile,
+        passes,
+        is_nipt=meta["is_nipt"],
+        trained_cutoff=meta["trained_cutoff"],
+    )
+    logging.info("Running QC on the newly created reference...")
+    qc_reference(outfile)
+    logging.info("Finished creating reference")
+
+
+def output_gender(args):
+    from wisecondorx_tpu.ops.gmm import predict_gender
+
+    sample, _, _ = load_sample_npz(args.infile)
+    ref = np.load(args.reference, encoding="latin1", allow_pickle=True)
+    gender = predict_gender(sample, float(ref["trained_cutoff"]))
+    print("male" if gender == "M" else "female")
+
+
+def tool_test(args):
+    from wisecondorx_tpu.models.predictor import (
+        PredictConfig,
+        PredictError,
+        predict,
+    )
+    from wisecondorx_tpu.output.tables import generate_output_tables
+
+    logging.info("Starting CNA prediction")
+    if not args.bed and not args.plot:
+        logging.critical(
+            "No output format selected. "
+            "Select at least one of the supported output formats "
+            "(--bed, --plot)"
+        )
+        sys.exit(1)
+
+    cfg = PredictConfig(
+        minrefbins=args.minrefbins,
+        maskrepeats=args.maskrepeats,
+        alpha=args.alpha,
+        zscore=args.zscore,
+        beta=args.beta,
+        blacklist=args.blacklist,
+        gender=args.gender,
+        seed=args.seed,
+    )
+    try:
+        cfg.validate()
+    except PredictError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+
+    logging.info("Importing data ...")
+    sample, sample_binsize, _ = load_sample_npz(args.infile)
+    passes, meta = load_reference_npz(args.reference)
+
+    try:
+        bins, segments = predict(sample, sample_binsize, passes, meta, cfg)
+    except PredictError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+
+    if args.bed:
+        logging.info("Writing tables ...")
+        generate_output_tables(
+            args.outid, bins, segments, cfg, regions=args.regions
+        )
+    if args.plot:
+        logging.info("Writing plots ...")
+        from wisecondorx_tpu.output.plots import write_plots
+
+        write_plots(
+            args.outid,
+            bins,
+            segments,
+            cfg,
+            ylim=args.ylim,
+            regions=args.regions,
+            plot_title=(
+                args.outid.split("/")[-1] if args.add_plot_title else None
+            ),
+        )
+    logging.info("Finished prediction")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="WisecondorX-TPU")
+    parser.add_argument(
+        "--loglevel",
+        type=str,
+        default="INFO",
+        choices=["info", "warning", "debug", "error", "critical"],
+    )
+    sub = parser.add_subparsers()
+
+    p = sub.add_parser(
+        "convert",
+        description="Convert and filter aligned reads to .npz",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("infile", type=str, help="aligned reads input (.bam)")
+    p.add_argument("outfile", type=str, help="Output .npz file")
+    p.add_argument(
+        "-r", "--reference", type=str,
+        help="Fasta reference to be used during cram conversion",
+    )
+    p.add_argument("--binsize", type=float, default=5e3, help="Bin size (bp)")
+    p.add_argument(
+        "--normdup", action="store_true", help="Do not remove duplicates"
+    )
+    p.set_defaults(func=tool_convert)
+
+    p = sub.add_parser(
+        "newref",
+        description="Create a new reference using healthy reference samples",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("infiles", type=str, nargs="+")
+    p.add_argument("outfile", type=str)
+    p.add_argument("--nipt", action="store_true")
+    p.add_argument("--yfrac", type=float, default=None)
+    p.add_argument("--plotyfrac", type=str, default=None)
+    p.add_argument("--refsize", type=int, default=300)
+    p.add_argument("--binsize", type=int, default=int(1e5))
+    p.add_argument(
+        "--cpus", type=int, default=1,
+        help="Kept for CLI compatibility; the KNN search runs on the "
+        "accelerator and ignores this",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=tool_newref)
+
+    p = sub.add_parser(
+        "gender",
+        description="Returns the gender of a .npz resulting from convert",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("infile", type=str)
+    p.add_argument("reference", type=str)
+    p.set_defaults(func=output_gender)
+
+    p = sub.add_parser(
+        "predict",
+        description="Find copy number aberrations",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("infile", type=str)
+    p.add_argument("reference", type=str)
+    p.add_argument("outid", type=str)
+    p.add_argument("--minrefbins", type=int, default=150)
+    p.add_argument("--maskrepeats", type=int, default=5)
+    p.add_argument("--alpha", type=float, default=1e-4)
+    p.add_argument("--zscore", type=float, default=5)
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--blacklist", type=str, default=None)
+    p.add_argument("--gender", type=str, choices=["F", "M"])
+    p.add_argument("--ylim", type=str, default="def")
+    p.add_argument("--bed", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--cairo", action="store_true")
+    p.add_argument("--add-plot-title", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--regions", type=str, default=None)
+    p.set_defaults(func=tool_test)
+
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    setup_logging(args.loglevel)
+    logging.debug("args are: %s", args)
+    if not hasattr(args, "func"):
+        parser.print_help()
+        sys.exit(1)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,7 +161,12 @@ def build_reference(
                 gender, matrix[:, cols], layout, total_mask, cfg, _null_chooser
             )
 
-    meta = {"is_nipt": nipt, "trained_cutoff": trained_cutoff}
+    meta = {
+        "is_nipt": nipt,
+        "trained_cutoff": trained_cutoff,
+        "has_female": "F" in passes,
+        "has_male": "M" in passes,
+    }
     return passes, meta
 
 
