@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline metric: wall-clock of the newref hot path (PCA residual + KNN
+within-sample reference search + null-ratio table) at 15 kb bins with 500
+reference samples — the workload the reference README calls out as the
+predecessor's 24-hour wall (README.md:10-11) and whose O(bins^2 x samples)
+Python loop is WisecondorX's own bottleneck.
+
+``vs_baseline`` is the measured speedup over the reference implementation:
+the reference's pure-Python bisect KNN loop (newref_tools.py:255-278) is
+timed on a row slice of the identical data and extrapolated linearly in
+rows (the loop is embarrassingly parallel over rows, so this is exact up
+to constant factors; the slice covers the full candidate axis).
+
+Prints exactly ONE JSON line on stdout; details go to stderr.
+Environment knobs: WCX_BENCH_BINSIZE, WCX_BENCH_SAMPLES, WCX_BENCH_SCALE,
+WCX_BENCH_PREDICT_BATCH.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Persistent XLA compilation cache: the axon remote-compile path costs
+# minutes per kernel on a cold cache; warm runs reuse serialized binaries.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    binsize = float(os.environ.get("WCX_BENCH_BINSIZE", 15000))
+    n_samples = int(os.environ.get("WCX_BENCH_SAMPLES", 500))
+    scale = float(os.environ.get("WCX_BENCH_SCALE", 1.0))
+    predict_batch_n = int(os.environ.get("WCX_BENCH_PREDICT_BATCH", 96))
+    refsize = 300
+
+    import jax
+
+    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+    from wisecondorx_tpu.ops import knn as knn_ops
+    from wisecondorx_tpu.ops import pca as pca_ops
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+
+    # Synthetic masked-space cohort at hg38 proportions.
+    chr_mbp = np.array(
+        [248, 242, 198, 190, 181, 171, 159, 145, 138, 133, 135, 133, 114,
+         107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57], dtype=float,
+    )
+    bins_per_chr = np.maximum(
+        (chr_mbp * 1e6 * scale / binsize).astype(np.int64), 8
+    )
+    layout = GenomeLayout(bins_per_chr)
+    rng = np.random.default_rng(0)
+    mask = rng.random(layout.total_bins) > 0.07
+    ml = MaskedLayout(layout, mask)
+    n = ml.n_masked
+    log(f"bins: {layout.total_bins} total, {n} masked; samples: {n_samples}")
+
+    depth = rng.lognormal(0.0, 0.03, size=(n, 1))
+    data = (
+        depth * rng.lognormal(0.0, 0.02, size=(n, n_samples))
+    ).astype(np.float32)
+    data /= data.sum(axis=0, keepdims=True)
+
+    # ---- our newref hot path (PCA + KNN + null ratios), compile included
+    t0 = time.perf_counter()
+    corrected, comps, mean = pca_ops.train_pca(data)
+    jax.block_until_ready(corrected)
+    t_pca = time.perf_counter() - t0
+    log(f"pca: {t_pca:.2f}s")
+
+    t1 = time.perf_counter()
+    idx, dist = knn_ops.knn_search(
+        corrected,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=refsize,
+        col_tile=int(os.environ.get("WCX_BENCH_COL_TILE", 4096)),
+        row_tile=int(os.environ.get("WCX_BENCH_ROW_TILE", 32768)),
+    )
+    t_knn = time.perf_counter() - t1
+    log(f"knn: {t_knn:.2f}s ({n} rows x {n} candidates x {n_samples} dims)")
+
+    t2 = time.perf_counter()
+    chosen = knn_ops.choose_null_samples(n_samples, rng)
+    null_ratios = knn_ops.compute_null_ratios(
+        corrected, idx, chosen, backend="jax"
+    )
+    t_null = time.perf_counter() - t2
+    log(f"null ratios: {t_null:.2f}s")
+
+    ours = t_pca + t_knn + t_null
+
+    # ---- reference baseline: slice of the pure-Python KNN loop ----
+    sys.path.insert(0, "/root/reference/src")
+    from wisecondorx.newref_tools import get_ref_for_bins
+
+    slice_rows = max(4, int(os.environ.get("WCX_BENCH_REF_SLICE", 12)))
+    # Candidates for a chr-1 target under the reference's concat scheme.
+    chr1 = int(ml.masked_bins_per_chr[0])
+    chr_data = corrected[chr1:, :].astype(np.float64)
+    tb = time.perf_counter()
+    get_ref_for_bins(
+        refsize, 0, slice_rows, corrected.astype(np.float64), chr_data
+    )
+    t_slice = time.perf_counter() - tb
+    ref_est = t_slice / slice_rows * n
+    log(
+        f"reference slice: {slice_rows} rows in {t_slice:.2f}s "
+        f"-> est {ref_est:.0f}s total ({ref_est/3600:.1f}h)"
+    )
+
+    # ---- predict throughput (batched) ----
+    try:
+        from wisecondorx_tpu.parallel.batch import _batched_kernel
+        import jax.numpy as jnp
+
+        k_idx = ml.neighbour_to_global(idx)
+        dist_ok = dist < np.quantile(dist, 0.95)
+        bsz = 8
+        tm = jnp.asarray(data[:, :bsz].T)
+        gi = jnp.asarray(k_idx, dtype=jnp.int32)
+        ok = jnp.asarray(dist_ok)
+        cj = jnp.asarray(comps)
+        mj = jnp.asarray(mean)
+        out = _batched_kernel(tm, cj, mj, gi, ok, ct=0)  # warmup/compile
+        jax.block_until_ready(out)
+        tp = time.perf_counter()
+        n_done = 0
+        while n_done < predict_batch_n:
+            out = _batched_kernel(tm, cj, mj, gi, ok, ct=0)
+            jax.block_until_ready(out)
+            n_done += bsz
+        t_pred = time.perf_counter() - tp
+        log(
+            f"predict normalize: {n_done} samples in {t_pred:.2f}s "
+            f"= {n_done / t_pred:.1f} samples/s"
+        )
+    except Exception as e:  # predict bench is auxiliary
+        log(f"predict bench skipped: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "newref_hotpath_15kb_500samples_wall_s",
+                "value": round(ours, 2),
+                "unit": "s",
+                "vs_baseline": round(ref_est / ours, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

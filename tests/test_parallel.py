@@ -1,0 +1,124 @@
+"""Multi-device equivalence tests on the 8-device virtual CPU mesh:
+sharded KNN == single-device KNN; batched predict == per-sample predict."""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from synthetic import CohortSim
+from wisecondorx_tpu.io import npz as io_npz
+from wisecondorx_tpu.models.predictor import PredictConfig, predict_bins
+from wisecondorx_tpu.models.reference import NewrefConfig, build_reference
+from wisecondorx_tpu.ops import knn as knn_ops
+from wisecondorx_tpu.parallel import bin_mesh, sample_mesh
+from wisecondorx_tpu.parallel.batch import predict_batch
+from wisecondorx_tpu.parallel.sharded_knn import knn_search_sharded
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sim = CohortSim(binsize=1e5, genome_scale=0.006, seed=55)
+    samples, _ = sim.cohort(8, 7)
+    passes, meta = build_reference(
+        [(copy.deepcopy(s), 100000) for s in samples],
+        NewrefConfig(binsize=100000, refsize=25, col_tile=128),
+    )
+    return sim, passes, meta
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_knn_equivalence(setup):
+    sim, passes, _ = setup
+    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+
+    a = passes["A"]
+    ml = MaskedLayout(
+        GenomeLayout(np.asarray(a["bins_per_chr"])),
+        np.asarray(a["mask"], bool),
+    )
+    rng = np.random.default_rng(0)
+    data = rng.normal(1.0, 0.02, size=(ml.n_masked, 15))
+
+    idx1, dist1 = knn_ops.knn_search(
+        data,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=25,
+        col_tile=128,
+    )
+    mesh = bin_mesh()
+    idx8, dist8 = knn_search_sharded(
+        data,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        mesh,
+        ref_size=25,
+        col_tile=128,
+    )
+    np.testing.assert_array_equal(idx1, idx8)
+    np.testing.assert_allclose(dist1, dist8, rtol=1e-12)
+
+
+def test_batched_predict_equivalence(setup):
+    sim, passes, meta = setup
+    cases = [
+        sim.sample("F", cnvs=[(9, 2, 6, 3.0)]),
+        sim.sample("M"),
+        sim.sample("F"),
+        sim.sample("M", cnvs=[(4, 0, 4, 1.0)]),
+        sim.sample("F"),
+    ]
+    cfg = PredictConfig(minrefbins=10)
+
+    singles = [
+        predict_bins(copy.deepcopy(c), 100000, passes, meta, cfg)
+        for c in cases
+    ]
+    mesh = sample_mesh()
+    batched = predict_batch(
+        [(copy.deepcopy(c), 100000) for c in cases],
+        passes,
+        meta,
+        cfg,
+        mesh=mesh,
+        chunk=8,
+    )
+
+    assert len(batched) == len(singles)
+    for single, batch in zip(singles, batched):
+        assert single.ref_gender == batch.ref_gender
+        assert single.gender == batch.gender
+        for c in range(len(single.results_r)):
+            np.testing.assert_allclose(
+                batch.results_r[c], single.results_r[c],
+                rtol=1e-10, atol=1e-12, err_msg=f"r chr{c}",
+            )
+            np.testing.assert_allclose(
+                batch.results_z[c], single.results_z[c],
+                rtol=1e-10, atol=1e-12, err_msg=f"z chr{c}",
+            )
+            np.testing.assert_allclose(
+                batch.results_w[c], single.results_w[c],
+                rtol=1e-10, atol=1e-12, err_msg=f"w chr{c}",
+            )
+
+
+def test_batched_predict_no_mesh(setup):
+    sim, passes, meta = setup
+    case = sim.sample("F")
+    cfg = PredictConfig(minrefbins=10)
+    single = predict_bins(copy.deepcopy(case), 100000, passes, meta, cfg)
+    [batch] = predict_batch(
+        [(copy.deepcopy(case), 100000)], passes, meta, cfg
+    )
+    for c in range(len(single.results_r)):
+        np.testing.assert_allclose(
+            batch.results_r[c], single.results_r[c], rtol=1e-10
+        )

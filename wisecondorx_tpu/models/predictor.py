@@ -111,16 +111,12 @@ def _pass_normalize(sample, ref_pass, cfg, ct, cutoff_distances):
     return z, r, weights, ref_sizes, m_lr, m_z, ml
 
 
-def predict_bins(
-    sample: dict,
-    sample_binsize: int,
-    ref_passes: dict,
-    ref_meta: dict,
-    cfg: PredictConfig = PredictConfig(),
-) -> BinResults:
-    """Produce combined per-bin r/z/w/null-ratio results for a test sample."""
-    cfg.validate()
+def prepare_sample(sample, sample_binsize, ref_passes, ref_meta, cfg):
+    """Host-side prep shared by single and batched predict: rescale,
+    sex-call, gender-correct, resolve the gonosomal pass to use.
 
+    Returns (sample, gender, ref_gender, n_reads).
+    """
     n_reads = int(np.sum([np.sum(v) for v in sample.values()]))
     ref_binsize = int(np.atleast_1d(ref_passes["A"]["binsize"])[0])
     sample = scale_sample(sample, sample_binsize, ref_binsize)
@@ -162,6 +158,21 @@ def predict_bins(
             f"Reference lacks the {ref_gender!r} gonosomal pass required "
             "for this sample."
         )
+    return sample, gender, ref_gender, n_reads
+
+
+def predict_bins(
+    sample: dict,
+    sample_binsize: int,
+    ref_passes: dict,
+    ref_meta: dict,
+    cfg: PredictConfig = PredictConfig(),
+) -> BinResults:
+    """Produce combined per-bin r/z/w/null-ratio results for a test sample."""
+    cfg.validate()
+    sample, gender, ref_gender, n_reads = prepare_sample(
+        sample, sample_binsize, ref_passes, ref_meta, cfg
+    )
 
     a_pass = ref_passes["A"]
     g_pass = ref_passes[ref_gender]
@@ -178,6 +189,37 @@ def predict_bins(
         z_g, r_g, w_g, sizes_g, _, _, g_ml = _pass_normalize(
             sample, g_pass, cfg, ct=ct, cutoff_distances=cutoff_distances
         )
+
+    return assemble_results(
+        (z_a, r_a, w_a, sizes_a, m_lr, m_z),
+        (z_g, r_g, w_g, sizes_g),
+        g_ml,
+        a_pass,
+        g_pass,
+        cfg,
+        ref_gender=ref_gender,
+        gender=gender,
+        n_reads=n_reads,
+    )
+
+
+def assemble_results(
+    a_results,
+    g_results,
+    g_ml,
+    a_pass,
+    g_pass,
+    cfg,
+    *,
+    ref_gender,
+    gender,
+    n_reads,
+) -> BinResults:
+    """Combine pass outputs into per-chromosome BinResults
+    (reference main.py:216-275)."""
+    z_a, r_a, w_a, sizes_a, m_lr, m_z = a_results
+    z_g, r_g, w_g, sizes_g = g_results
+    ref_binsize = int(np.atleast_1d(a_pass["binsize"])[0])
 
     # Combine (reference main.py:242-257).
     results_r = np.concatenate([r_a, r_g])

@@ -149,6 +149,7 @@ def knn_search(
     """
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
+    n_rows = r1 - r0
 
     data_p = _pad_cols(np.asarray(data), col_tile)
     col_chr = np.full(data_p.shape[0], -2, dtype=np.int32)
@@ -158,15 +159,25 @@ def knn_search(
     data_j = jnp.asarray(data_p)
     col_chr_j = jnp.asarray(col_chr)
 
-    row_tile = row_tile or (r1 - r0)
+    row_tile = row_tile or n_rows
+    # Pad target rows to a whole number of tiles: every kernel call then
+    # shares one compiled shape (a partial final tile would trigger a
+    # second multi-minute XLA compile for one-off shapes).
+    rows_pad = -(-n_rows // row_tile) * row_tile
+    rows = np.zeros((rows_pad, data_p.shape[1]), dtype=data_p.dtype)
+    rows[:n_rows] = data_p[r0:r1]
+    rows_chr = np.full(rows_pad, -2, dtype=np.int32)
+    rows_chr[:n_rows] = col_chr[r0:r1]
+    rows_j = jnp.asarray(rows)
+    rows_chr_j = jnp.asarray(rows_chr)
+
     out_idx = []
     out_dist = []
-    for s in range(r0, r1, row_tile):
-        e = min(s + row_tile, r1)
+    for s in range(0, rows_pad, row_tile):
         idx, dist = _knn_kernel(
-            data_j[s:e],
+            rows_j[s : s + row_tile],
             data_j,
-            col_chr_j[s:e],
+            rows_chr_j[s : s + row_tile],
             col_chr_j,
             starts,
             sizes,
@@ -176,13 +187,24 @@ def knn_search(
         )
         out_idx.append(np.asarray(idx))
         out_dist.append(np.asarray(dist))
-    return np.concatenate(out_idx), np.concatenate(out_dist)
+    return (
+        np.concatenate(out_idx)[:n_rows],
+        np.concatenate(out_dist)[:n_rows],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _null_ratio_kernel(sub, idx_block, own_block):
+    gathered = sub[idx_block]  # [c, k, chosen]
+    medians = jnp.median(gathered, axis=1)
+    return jnp.log2(own_block / medians)
 
 
 def compute_null_ratios(
     data: np.ndarray,
     indexes: np.ndarray,
     sample_ids: np.ndarray,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Null log2 ratios for the chosen reference samples.
 
@@ -198,10 +220,36 @@ def compute_null_ratios(
     indexes = np.asarray(indexes)
     n = data.shape[0]
     sub = data[:, sample_ids]  # [bins, chosen]
-    out = np.empty((indexes.shape[0], len(sample_ids)), dtype=data.dtype)
-    chunk = max(1, 2**28 // (indexes.shape[1] * max(len(sample_ids), 1) * 8))
-    for s in range(0, indexes.shape[0], chunk):
-        e = min(s + chunk, indexes.shape[0])
+    n_rows, k = indexes.shape
+    chosen = len(sample_ids)
+    out = np.empty((n_rows, chosen), dtype=data.dtype)
+
+    total_gathered = n_rows * k * max(chosen, 1)
+    use_jax = backend == "jax" or (backend == "auto" and total_gathered > 5e7)
+
+    if use_jax:
+        # Device path: gather + median over the neighbour axis in chunks.
+        sub_j = jnp.asarray(sub)
+        chunk = max(256, int(2**28 // (k * max(chosen, 1) * 4)))
+        chunk = -(-chunk // 256) * 256
+        for s in range(0, n_rows, chunk):
+            e = min(s + chunk, n_rows)
+            idx = (indexes[s:e] % n).astype(np.int32)
+            if e - s < chunk:  # pad to keep a single compiled shape
+                pad = chunk - (e - s)
+                idx = np.concatenate([idx, np.zeros((pad, k), np.int32)])
+                own = np.concatenate([sub[s:e], np.ones((pad, chosen))])
+            else:
+                own = sub[s:e]
+            res = _null_ratio_kernel(
+                sub_j, jnp.asarray(idx), jnp.asarray(own, dtype=sub_j.dtype)
+            )
+            out[s:e] = np.asarray(res)[: e - s]
+        return out
+
+    chunk = max(1, 2**28 // (k * max(chosen, 1) * 8))
+    for s in range(0, n_rows, chunk):
+        e = min(s + chunk, n_rows)
         # numpy negative-index wraparound for the -1 sentinel slots.
         gathered = sub[indexes[s:e] % n]  # [c, k, chosen]
         medians = np.median(gathered, axis=1)  # [c, chosen]

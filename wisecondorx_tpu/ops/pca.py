@@ -24,35 +24,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("n_components",))
-def _fit_kernel(data_bs, n_components: int):
-    """data_bs: [bins, samples]; returns (corrected_bs, components, mean)."""
+@jax.jit
+def _gram_kernel(data_bs):
+    """[bins, samples] -> (gram [S, S], mean [bins]) — one MXU matmul."""
     x = data_bs.T  # [samples, bins]
     mean = jnp.mean(x, axis=0)
     xc = x - mean
-    gram = jnp.dot(xc, xc.T, preferred_element_type=xc.dtype)  # [S, S]
-    eigvals, eigvecs = jnp.linalg.eigh(gram)  # ascending
-    u = eigvecs[:, ::-1][:, :n_components]  # [S, k] principal first
-    v = jnp.dot(u.T, xc, preferred_element_type=xc.dtype)  # [k, bins]
-    norms = jnp.linalg.norm(v, axis=1, keepdims=True)
-    components = v / jnp.where(norms > 0, norms, 1.0)  # unit rows
-    # Reconstruction is U U^T Xc + mean — independent of singular values.
+    gram = jnp.dot(xc, xc.T, preferred_element_type=xc.dtype)
+    return gram, mean
+
+
+@jax.jit
+def _correct_kernel(data_bs, mean, u):
+    """Given the top-k Gram eigenvectors u [S, k], build unit components
+    and divide out the rank-k reconstruction ``U U^T Xc + mean``."""
+    x = data_bs.T
+    xc = x - mean
+    coeffs = jnp.dot(u.T, xc, preferred_element_type=xc.dtype)  # [k, bins]
+    norms = jnp.linalg.norm(coeffs, axis=1, keepdims=True)
+    components = coeffs / jnp.where(norms > 0, norms, 1.0)
     reconstructed = jnp.dot(
-        u, jnp.dot(u.T, xc, preferred_element_type=xc.dtype),
-        preferred_element_type=xc.dtype,
+        u, coeffs, preferred_element_type=xc.dtype
     ) + mean
     corrected = x / reconstructed
-    return corrected.T, components, mean
+    return corrected.T, components
 
 
 def train_pca(data_bs: np.ndarray, n_components: int = 5):
     """Fit PCA on [bins, samples] data; divide out the rank-k reconstruction.
 
+    The S x S Gram matrix and the correction are device matmuls; the tiny
+    eigendecomposition runs in host numpy (``jnp.linalg.eigh`` lowers to a
+    pathologically slow-to-compile program on the axon TPU path, and the
+    matrix is only samples x samples).
+
     Returns (pca_corrected [bins, samples], components [k, bins], mean [bins]).
     """
-    corrected, components, mean = _fit_kernel(
-        jnp.asarray(data_bs), n_components
+    data_j = jnp.asarray(data_bs)
+    gram, mean = _gram_kernel(data_j)
+    _, eigvecs = np.linalg.eigh(np.asarray(gram))  # ascending
+    u = jnp.asarray(
+        np.ascontiguousarray(eigvecs[:, ::-1][:, :n_components])
     )
+    corrected, components = _correct_kernel(data_j, mean, u)
     return np.asarray(corrected), np.asarray(components), np.asarray(mean)
 
 
