@@ -52,6 +52,36 @@ def tool_newref(args):
         logging.info("Binsize: %d", binsize)
         samples.append((sample, binsize))
 
+    if args.plotyfrac is not None:
+        # reference newref_tools.py:42-52: plot the GMM fit for --yfrac
+        # tuning, then stop.
+        from wisecondorx_tpu.io.npz import scale_sample
+        from wisecondorx_tpu.ops.gmm import train_gender_model
+
+        scaled = [
+            scale_sample(s, bs, int(args.binsize)) for s, bs in samples
+        ]
+        _, _, fit = train_gender_model(
+            scaled, yfrac_override=args.yfrac, random_state=args.seed
+        )
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(16, 6))
+        ax.hist(fit["y_fractions"], bins=100, density=True)
+        ax.plot(
+            fit["grid"], fit["density"], "r-", label="Gaussian mixture fit"
+        )
+        ax.set_xlim([0, 0.02])
+        ax.legend(loc="best")
+        plt.savefig(args.plotyfrac)
+        logging.info(
+            "Image written to %s, now quitting ...", args.plotyfrac
+        )
+        sys.exit(0)
+
     cfg = NewrefConfig(
         binsize=int(args.binsize),
         refsize=args.refsize,
