@@ -162,3 +162,19 @@ def test_null_ratios_match_reference(ref_modules, prepped):
 
     ours = knn_ops.compute_null_ratios(corrected, ref_idx, np.array(chosen))
     np.testing.assert_allclose(ours, ref_null, rtol=1e-12, atol=0)
+
+
+def test_null_ratios_jax_backend_matches_numpy(prepped):
+    corrected, ml = prepped
+    idx, _ = knn_ops.knn_search(
+        corrected,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=40,
+        col_tile=256,
+    )
+    ids = np.arange(corrected.shape[1])
+    a = knn_ops.compute_null_ratios(corrected, idx, ids, backend="numpy")
+    b = knn_ops.compute_null_ratios(corrected, idx, ids, backend="jax")
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
