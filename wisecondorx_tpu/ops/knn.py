@@ -36,7 +36,8 @@ SENTINEL_DISTANCE = 1e10
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ref_size", "col_tile", "row_offset_static")
+    jax.jit,
+    static_argnames=("ref_size", "col_tile", "merge_method"),
 )
 def _knn_kernel(
     rows,  # [R, S] target-bin vectors
@@ -48,7 +49,7 @@ def _knn_kernel(
     n_valid,  # scalar int32: true candidate count
     ref_size: int,
     col_tile: int,
-    row_offset_static: int = 0,
+    merge_method: str = "sort",
 ):
     dtype = rows.dtype
     R = rows.shape[0]
@@ -93,8 +94,19 @@ def _knn_kernel(
 
         merged_vals = jnp.concatenate([run_vals, d], axis=1)
         merged_idx = jnp.concatenate([run_idx, excl], axis=1)
-        # Stable top-k of the smallest distances.
-        neg_top, arg = jax.lax.top_k(-merged_vals, ref_size)
+        # Top-k of the smallest distances.  "sort" (lax.top_k) is stable —
+        # exact bisect tie-order parity — but its TPU sort lowering takes
+        # minutes to compile through the axon remote-compile path.
+        # "partial" (approx_max_k at recall_target=1.0, XLA's PartialReduce)
+        # returns the exact value set with unspecified tie order and
+        # compiles ~100x faster; tie order only matters for degenerate
+        # equal-distance candidates at the k-boundary.
+        if merge_method == "partial":
+            neg_top, arg = jax.lax.approx_max_k(
+                -merged_vals, ref_size, recall_target=1.0
+            )
+        else:
+            neg_top, arg = jax.lax.top_k(-merged_vals, ref_size)
         new_idx = jnp.take_along_axis(merged_idx, arg, axis=1)
         return (-neg_top, new_idx), None
 
@@ -133,6 +145,7 @@ def knn_search(
     row_range: tuple[int, int] | None = None,
     col_tile: int = 1024,
     row_tile: int | None = None,
+    merge_method: str | None = None,
 ):
     """Exact per-bin K nearest neighbours over other-chromosome bins.
 
@@ -146,7 +159,15 @@ def knn_search(
 
     Returns (indexes int32[rows, ref_size], distances [rows, ref_size]) with
     indexes in own-chromosome-excluded space.
+
+    ``merge_method``: None selects "partial" on TPU (fast compile, exact
+    values, unspecified tie order) and "sort" elsewhere (bisect tie-order
+    parity).
     """
+    if merge_method is None:
+        merge_method = (
+            "partial" if jax.default_backend() == "tpu" else "sort"
+        )
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
     n_rows = r1 - r0
@@ -184,6 +205,7 @@ def knn_search(
             jnp.int32(n),
             ref_size=ref_size,
             col_tile=col_tile,
+            merge_method=merge_method,
         )
         out_idx.append(np.asarray(idx))
         out_dist.append(np.asarray(dist))

@@ -26,6 +26,7 @@ def knn_search_sharded(
     ref_size: int = 300,
     row_range: tuple[int, int] | None = None,
     col_tile: int = 2048,
+    merge_method: str | None = None,
 ):
     """Sharded variant of :func:`wisecondorx_tpu.ops.knn.knn_search`.
 
@@ -73,5 +74,7 @@ def knn_search_sharded(
         jnp.int32(n),
         ref_size=ref_size,
         col_tile=col_tile,
+        merge_method=merge_method
+        or ("partial" if jax.default_backend() == "tpu" else "sort"),
     )
     return np.asarray(idx)[:n_rows], np.asarray(dist)[:n_rows]
