@@ -79,6 +79,13 @@ def get_weights(distances: np.ndarray) -> np.ndarray:
     return np.asarray(_weights_kernel(jnp.asarray(distances)))
 
 
+#: Target rows processed per gather block — bounds peak memory of the
+#: [block, k] neighbour gather + sort (and its vmapped [batch, block, k]
+#: counterpart) so XLA never materializes the full [targets, k] tensor in
+#: an unfavourable layout.
+NORMALIZE_BLOCK = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("rounds", "ct"))
 def _normalize_repeat_kernel(
     test_data,  # [n] masked pass-space sample values
@@ -93,19 +100,36 @@ def _normalize_repeat_kernel(
     ``test_copy`` starts as the sample and accumulates -1 sentinels at bins
     whose |z| crossed the threshold in any earlier round, so that they stop
     serving as references; statistics always use the *original* values
-    (``test_data``) for the targets themselves.
+    (``test_data``) for the targets themselves.  The neighbour gather +
+    masked statistics run as a sequential map over fixed-size row blocks.
     """
     targets = test_data[ct:]
+    m, k = global_idx.shape
+    block = min(NORMALIZE_BLOCK, max(8, m))
+    n_blocks = -(-m // block)
+    pad = n_blocks * block - m
+    gi = jnp.pad(global_idx, ((0, pad), (0, 0))).reshape(n_blocks, block, k)
+    ok = jnp.pad(dist_ok, ((0, pad), (0, 0))).reshape(n_blocks, block, k)
 
     def one_round(test_copy):
-        neigh = test_copy[global_idx]  # [m, k]
-        valid = dist_ok & (neigh >= 0)
-        mean = masked_mean(neigh, valid)
-        std = masked_std(neigh, valid)
-        med = masked_median(neigh, valid)
+        def per_block(args):
+            gi_b, ok_b = args
+            neigh = test_copy[gi_b]  # [block, k]
+            valid = ok_b & (neigh >= 0)
+            return (
+                masked_mean(neigh, valid),
+                masked_std(neigh, valid),
+                masked_median(neigh, valid),
+                jnp.sum(valid, axis=1),
+            )
+
+        mean, std, med, sizes = jax.lax.map(per_block, (gi, ok))
+        mean = mean.reshape(-1)[:m]
+        std = std.reshape(-1)[:m]
+        med = med.reshape(-1)[:m]
+        ref_sizes = sizes.reshape(-1)[:m]
         z = (targets - mean) / std
         r = targets / med
-        ref_sizes = jnp.sum(valid, axis=1)
         return z, r, ref_sizes
 
     test_copy = test_data
