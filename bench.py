@@ -116,7 +116,7 @@ def main():
         ml.masked_chr_starts,
         ml.masked_bins_per_chr,
         ref_size=refsize,
-        col_tile=int(os.environ.get("WCX_BENCH_COL_TILE", 4096)),
+        col_tile=int(os.environ.get("WCX_BENCH_COL_TILE", 8192)),
         row_tile=int(os.environ.get("WCX_BENCH_ROW_TILE", 32768)),
     )
     t_knn = time.perf_counter() - t1

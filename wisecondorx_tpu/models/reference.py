@@ -58,9 +58,9 @@ class NewrefConfig:
     seed: int | None = 0
     pca_components: int = 5
     #: Column-block width of the KNN kernel (tune per device).
-    col_tile: int = 2048
+    col_tile: int = 8192
     #: Optional row-block height bounding KNN device memory.
-    row_tile: int | None = None
+    row_tile: int | None = 32768
     #: Array dtype for the on-device math ("float32" on TPU; tests use
     #: float64 under jax_enable_x64 for reference parity).
     dtype: str = "float64"

@@ -180,7 +180,12 @@ def knn_search(
     data_j = jnp.asarray(data_p)
     col_chr_j = jnp.asarray(col_chr)
 
-    row_tile = row_tile or n_rows
+    if n_rows == 0:
+        return (
+            np.zeros((0, ref_size), dtype=np.int32),
+            np.zeros((0, ref_size), dtype=data.dtype),
+        )
+    row_tile = min(row_tile or n_rows, n_rows)
     # Pad target rows to a whole number of tiles: every kernel call then
     # shares one compiled shape (a partial final tile would trigger a
     # second multi-minute XLA compile for one-off shapes).
