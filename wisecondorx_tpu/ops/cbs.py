@@ -136,22 +136,20 @@ def _observed_stat(x, w, n, lengths, min_width: int):
     return _tstat_scan(cw, cwx, n, lengths, min_width)
 
 
-@functools.partial(jax.jit, static_argnames=("min_width", "batch"))
-def _perm_exceed_count(
-    x, w, n, lengths, obs, key, min_width: int, batch: int
-):
+@functools.partial(jax.jit, static_argnames=("min_width",))
+def _perm_exceed_count(x, w, n, lengths, obs, order, min_width: int):
     """Count permutations whose grid-max |T| >= the observed grid-max.
 
-    Permutes (value, weight) pairs jointly — bins are exchangeable with
-    their precisions under H0.
+    ``order`` is a host-generated [batch, n_pad] permutation table (each
+    row permutes the first n slots, identity on the padding): device-side
+    argsort-based shuffling would hit the same pathologically slow TPU sort
+    compile as lax.top_k (see ROADMAP.md), while a numpy Fisher-Yates per
+    batch costs milliseconds.  (Value, weight) pairs permute jointly —
+    bins are exchangeable with their precisions under H0.
     """
-    n_pad = x.shape[0]
-    u = jax.random.uniform(key, (batch, n_pad))
-    u = jnp.where(jnp.arange(n_pad)[None, :] < n, u, jnp.inf)
-    order = jnp.argsort(u, axis=1)  # random permutation of the first n slots
     xp = jnp.take(x, order)
     wp = jnp.take(w, order)
-    zero = jnp.zeros((batch, 1), x.dtype)
+    zero = jnp.zeros((order.shape[0], 1), x.dtype)
     cw = jnp.concatenate([zero, jnp.cumsum(wp, axis=1)], axis=1)
     cwx = jnp.concatenate([zero, jnp.cumsum(wp * xp, axis=1)], axis=1)
     best, _, _ = _tstat_scan(cw, cwx, n, lengths, min_width)
@@ -190,7 +188,7 @@ def _arc_lengths(n: int, cfg: CBSConfig) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _test_split(x, w, cfg: CBSConfig, key):
+def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
     """Test one segment for a significant circular split.
 
     Returns (significant, i, j) with 0 <= i < j <= n boundaries.
@@ -218,17 +216,17 @@ def _test_split(x, w, cfg: CBSConfig, key):
     max_ones = int(np.floor(cfg.nperm * cfg.alpha)) + 1
     exceed = 0
     done = 0
-    batch_i = 0
+    base = np.tile(np.arange(n_pad, dtype=np.int32), (cfg.perm_batch, 1))
     while done < cfg.nperm and exceed < max_ones:
-        bkey = jax.random.fold_in(key, batch_i)
+        order = base.copy()
+        order[:, :n] = rng.permuted(order[:, :n], axis=1)
         exceed += int(
             _perm_exceed_count(
-                xj, wj, jnp.int32(n), lengths, obs, bkey,
-                cfg.min_width, cfg.perm_batch,
+                xj, wj, jnp.int32(n), lengths, obs,
+                jnp.asarray(order), cfg.min_width,
             )
         )
         done += cfg.perm_batch
-        batch_i += 1
 
     if exceed >= max_ones:
         return False, 0, 0
@@ -242,7 +240,7 @@ def _test_split(x, w, cfg: CBSConfig, key):
     return True, i, j
 
 
-def _segment_values(x, w, cfg: CBSConfig, key):
+def _segment_values(x, w, cfg: CBSConfig, chrom_seed):
     """Recursive CBS over one chromosome's non-NA values.
 
     Returns a sorted list of (lo, hi) half-open index ranges.
@@ -254,8 +252,8 @@ def _segment_values(x, w, cfg: CBSConfig, key):
     while stack:
         lo, hi = stack.pop()
         t += 1
-        skey = jax.random.fold_in(key, t)
-        sig, i, j = _test_split(x[lo:hi], w[lo:hi], cfg, skey)
+        rng = np.random.default_rng(list(chrom_seed) + [t])
+        sig, i, j = _test_split(x[lo:hi], w[lo:hi], cfg, rng)
         if not sig:
             final.append((lo, hi))
             continue
@@ -285,7 +283,7 @@ def exec_cbs(
     reads back from CBS.R via JSON (predict_tools.py:266-275).
     """
     n_chr = 24 if ref_gender == "M" else 23
-    key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    seed = cfg.seed if cfg.seed is not None else 0
     na_run_threshold = int(2e6 / binsize)  # CBS.R:95 ((binsize/2e6)^-1)
 
     out = []
@@ -301,8 +299,7 @@ def exec_cbs(
         yv = y[keep]
         wv = w[keep]
 
-        ckey = jax.random.fold_in(key, c)
-        for lo, hi in _segment_values(yv, wv, cfg, ckey):
+        for lo, hi in _segment_values(yv, wv, cfg, (seed, c)):
             # DNAcopy endpoints: 1-based inclusive positions of the first
             # and last non-NA bin of the segment.
             s1 = int(pos[lo]) + 1

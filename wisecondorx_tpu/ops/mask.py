@@ -8,34 +8,33 @@ zero-coverage mask; SURVEY.md 2.6).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
+
+
 import numpy as np
-
-from wisecondorx_tpu.ops.common import masked_median
-
-
-@jax.jit
-def _mask_kernel(all_data):
-    sum_per_sample = jnp.sum(all_data, axis=0)
-    normed = all_data / sum_per_sample
-    sum_per_bin = jnp.sum(normed, axis=1)
-    median_cov = masked_median(sum_per_bin, sum_per_bin > 0, axis=0)
-    return sum_per_bin > (0.05 * median_cov)
 
 
 def get_mask(matrix: np.ndarray) -> np.ndarray:
     """Compute the usability mask for a dense [total_bins, n_samples] matrix.
 
+    Host numpy on purpose: this runs once per reference build on a small
+    matrix, and the median's sort lowering is one of the pathologically
+    slow-to-compile ops on the tunneled TPU (see ROADMAP.md).
+
     Returns bool[total_bins].
     """
-    return np.asarray(_mask_kernel(jnp.asarray(matrix)))
+    matrix = np.asarray(matrix)
+    normed = matrix / matrix.sum(axis=0)
+    sum_per_bin = normed.sum(axis=1)
+    median_cov = np.median(sum_per_bin[sum_per_bin > 0])
+    return sum_per_bin > (0.05 * median_cov)
 
 
-@jax.jit
 def depth_normalize(matrix):
     """Per-sample depth normalization: each column / its total.
 
     Matches reference newref_tools.py:124-125 / predict_tools.py:44-45.
+    Host numpy: the result is masked on host immediately after, so staging
+    one elementwise division through the device would only add transfers.
     """
-    return matrix / jnp.sum(matrix, axis=0)
+    matrix = np.asarray(matrix)
+    return matrix / matrix.sum(axis=0)
