@@ -26,6 +26,7 @@ report index -1 / distance 1e10 (the reference's initial list contents).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,17 @@ import numpy as np
 
 #: The reference's initial "infinite" distance (newref_tools.py:262,267).
 SENTINEL_DISTANCE = 1e10
+
+#: Bucketed-reduce geometry for merge_method="bucket": each column block is
+#: reduced to the LEVELS smallest candidates per strided bucket
+#: (column c -> bucket c mod BUCKETS) before the top-k merge.  With the
+#: default 128 x 4 = 512 cells/block, losing a true top-300 member requires
+#: > 4 of a row's winners to share one bucket — vanishingly rare on real
+#: cohorts and always caught by the count-verification pass.
+_BUCKETS = int(os.environ.get("WCX_KNN_BUCKETS", 128))
+_LEVELS = int(os.environ.get("WCX_KNN_LEVELS", 4))
+#: Row-tile size for the exact re-run of verification-flagged rows.
+_FLAG_TILE = 1024
 
 
 @functools.partial(
@@ -92,6 +104,40 @@ def _knn_kernel(
         excl = g - jnp.where(g >= row_start[:, None], row_size[:, None], 0)
         excl = excl.astype(jnp.int32)
 
+        if merge_method == "bucket":
+            # Two-stage reduce: XLA fuses plain min-reduces into the matmul,
+            # so the [R, C] distance block lives only in registers/VMEM and
+            # never round-trips through HBM (the cost that dominates the
+            # direct top-k merge).  Stage 1 keeps the M smallest per strided
+            # bucket (column c -> bucket c mod L), stage 2 top-ks the
+            # 300 + M*L survivors.  Collisions (> M of a row's true top-k in
+            # one bucket) are caught by the caller's count-verification pass
+            # and re-run exactly.
+            L, M = _BUCKETS, _LEVELS
+            G = d.shape[1] // L
+            d3 = d.reshape(R, G, L)
+            e3 = excl.reshape(R, G, L)
+            big = jnp.asarray(jnp.inf, dtype)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (R, G, L), 1)
+            vs, ix = [], []
+            cur = d3
+            for _ in range(M):
+                v = jnp.min(cur, axis=1)  # [R, L]
+                hit = cur == v[:, None, :]
+                g_sel = jnp.min(
+                    jnp.where(hit, gi, jnp.int32(2**30)), axis=1
+                )
+                # excl is monotone in column, so min-over-first-match picks
+                # the same candidate as g_sel (no gather needed).
+                i = jnp.min(
+                    jnp.where(hit, e3, jnp.int32(2**30)), axis=1
+                )
+                cur = jnp.where(gi == g_sel[:, None, :], big, cur)
+                vs.append(v)
+                ix.append(jnp.where(jnp.isinf(v), -1, i))
+            d = jnp.concatenate(vs, axis=1)  # [R, M*L]
+            excl = jnp.concatenate(ix, axis=1)
+
         merged_vals = jnp.concatenate([run_vals, d], axis=1)
         merged_idx = jnp.concatenate([run_idx, excl], axis=1)
         # Top-k of the smallest distances.  "sort" (lax.top_k) is stable —
@@ -101,7 +147,7 @@ def _knn_kernel(
         # returns the exact value set with unspecified tie order and
         # compiles ~100x faster; tie order only matters for degenerate
         # equal-distance candidates at the k-boundary.
-        if merge_method == "partial":
+        if merge_method in ("partial", "bucket"):
             neg_top, arg = jax.lax.approx_max_k(
                 -merged_vals, ref_size, recall_target=1.0
             )
@@ -125,6 +171,58 @@ def _knn_kernel(
     distances = jnp.where(unfilled, jnp.asarray(SENTINEL_DISTANCE, dtype), vals)
     indexes = jnp.where(unfilled, -1, idx)
     return indexes, distances
+
+
+@functools.partial(jax.jit, static_argnames=("col_tile",))
+def _count_below_kernel(
+    rows, data, row_chr, col_chr, tau, n_valid, col_tile: int
+):
+    """Per target row: how many valid candidates have distance < tau.
+
+    Validity matches ``_knn_kernel`` exactly (other chromosome, unpadded,
+    distance below the reference's 1e10 sentinel), and the distance block is
+    consumed by a fused sum-reduce so it never materializes in HBM.
+    """
+    dtype = rows.dtype
+    n_blocks = data.shape[0] // col_tile
+    row_norms = jnp.sum(rows * rows, axis=1)
+    col_norms = jnp.sum(data * data, axis=1)
+    data_blocks = data.reshape(n_blocks, col_tile, -1)
+    norm_blocks = col_norms.reshape(n_blocks, col_tile)
+    chr_blocks = col_chr.reshape(n_blocks, col_tile)
+
+    def body(cnt, block):
+        blk_data, blk_norms, blk_chr, blk_id = block
+        g = blk_id * col_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, col_tile), 1
+        )
+        d = (
+            row_norms[:, None]
+            + blk_norms[None, :]
+            - 2.0
+            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype)
+        )
+        valid = (
+            (row_chr[:, None] != blk_chr[None, :])
+            & (g < n_valid)
+            & (d < SENTINEL_DISTANCE)
+        )
+        cnt = cnt + jnp.sum(
+            (valid & (d < tau[:, None])).astype(jnp.int32), axis=1
+        )
+        return cnt, None
+
+    cnt, _ = jax.lax.scan(
+        body,
+        jnp.zeros(rows.shape[0], jnp.int32),
+        (
+            data_blocks,
+            norm_blocks,
+            chr_blocks,
+            jnp.arange(n_blocks, dtype=jnp.int32),
+        ),
+    )
+    return cnt
 
 
 def _pad_cols(data, col_tile):
@@ -160,13 +258,20 @@ def knn_search(
     Returns (indexes int32[rows, ref_size], distances [rows, ref_size]) with
     indexes in own-chromosome-excluded space.
 
-    ``merge_method``: None selects "partial" on TPU (fast compile, exact
-    values, unspecified tie order) and "sort" elsewhere (bisect tie-order
-    parity).
+    ``merge_method``: None selects "bucket" on TPU (fused matmul+reduce —
+    the distance block never materializes in HBM — with count-verified
+    exactness and re-run of collision-flagged rows; unspecified tie order)
+    and "sort" elsewhere (bisect tie-order parity).  "partial" is the
+    direct approx_max_k merge (exact values, unspecified tie order).
     """
     if merge_method is None:
         merge_method = (
-            "partial" if jax.default_backend() == "tpu" else "sort"
+            "bucket" if jax.default_backend() == "tpu" else "sort"
+        )
+    if merge_method == "bucket" and col_tile % _BUCKETS:
+        raise ValueError(
+            f"col_tile ({col_tile}) must be a multiple of {_BUCKETS} "
+            "for merge_method='bucket'"
         )
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
@@ -197,8 +302,11 @@ def knn_search(
     rows_j = jnp.asarray(rows)
     rows_chr_j = jnp.asarray(rows_chr)
 
-    out_idx = []
-    out_dist = []
+    # Dispatch every row tile before fetching any result: JAX dispatch is
+    # async, so the device streams through all tiles back-to-back while the
+    # host readback (expensive over the tunneled axon link) overlaps the
+    # remaining tiles' compute instead of serializing with it.
+    pending = []
     for s in range(0, rows_pad, row_tile):
         idx, dist = _knn_kernel(
             rows_j[s : s + row_tile],
@@ -212,12 +320,63 @@ def knn_search(
             col_tile=col_tile,
             merge_method=merge_method,
         )
-        out_idx.append(np.asarray(idx))
-        out_dist.append(np.asarray(dist))
-    return (
-        np.concatenate(out_idx)[:n_rows],
-        np.concatenate(out_dist)[:n_rows],
-    )
+        cnt = None
+        if merge_method == "bucket":
+            cnt = _count_below_kernel(
+                rows_j[s : s + row_tile],
+                data_j,
+                rows_chr_j[s : s + row_tile],
+                col_chr_j,
+                jnp.max(dist, axis=1),
+                jnp.int32(n),
+                col_tile=col_tile,
+            )
+        pending.append((idx, dist, cnt))
+    out_idx = [np.asarray(idx) for idx, _, _ in pending]
+    out_dist = [np.asarray(dist) for _, dist, _ in pending]
+    indexes = np.concatenate(out_idx)[:n_rows]
+    distances = np.concatenate(out_dist)[:n_rows]
+
+    if merge_method == "bucket":
+        # Exactness verification: a row is flagged when valid candidates
+        # strictly below its current worst kept distance outnumber the kept
+        # ones strictly below it — i.e. a bucket collision dropped a true
+        # top-k member.  Flagged rows re-run through the direct exact path.
+        cnt = np.concatenate([np.asarray(c) for _, _, c in pending])[:n_rows]
+        tau = distances.max(axis=1)
+        sel_lt = (distances < tau[:, None]).sum(axis=1).astype(np.int32)
+        flagged = np.nonzero(cnt != sel_lt)[0]
+        if flagged.size:
+            for s in range(0, flagged.size, _FLAG_TILE):
+                rows_f = flagged[s : s + _FLAG_TILE]
+                pad_n = _FLAG_TILE - rows_f.size
+                frows = np.concatenate(
+                    [
+                        data_p[r0 + rows_f],
+                        np.zeros((pad_n, data_p.shape[1]), data_p.dtype),
+                    ]
+                )
+                fchr = np.concatenate(
+                    [
+                        col_chr[r0 + rows_f],
+                        np.full(pad_n, -2, np.int32),
+                    ]
+                )
+                fidx, fdist = _knn_kernel(
+                    jnp.asarray(frows),
+                    data_j,
+                    jnp.asarray(fchr),
+                    col_chr_j,
+                    starts,
+                    sizes,
+                    jnp.int32(n),
+                    ref_size=ref_size,
+                    col_tile=col_tile,
+                    merge_method="partial",
+                )
+                indexes[rows_f] = np.asarray(fidx)[: rows_f.size]
+                distances[rows_f] = np.asarray(fdist)[: rows_f.size]
+    return indexes, distances
 
 
 @functools.partial(jax.jit, static_argnames=())
