@@ -10,7 +10,15 @@ reductions over empty arrays do.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+#: Explicit matmul precision for every device matmul in the pipeline.  On
+#: TPU the default f32 "matmul" truncates inputs to bf16 (8 mantissa bits)
+#: on the MXU — catastrophic for squared-distance and Gram computations
+#: whose answers live many decades below the operand norms.  HIGHEST selects
+#: the multi-pass f32 emulation; on CPU (the f64 parity path) it is a no-op.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def masked_mean(x, valid, axis=-1):

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wisecondorx_tpu.ops.common import MATMUL_PRECISION
+
 #: The reference's initial "infinite" distance (newref_tools.py:262,267).
 SENTINEL_DISTANCE = 1e10
 
@@ -49,7 +51,7 @@ _FLAG_TILE = 1024
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ref_size", "col_tile", "merge_method"),
+    static_argnames=("ref_size", "col_tile", "merge_method", "buckets", "levels"),
 )
 def _knn_kernel(
     rows,  # [R, S] target-bin vectors
@@ -62,6 +64,8 @@ def _knn_kernel(
     ref_size: int,
     col_tile: int,
     merge_method: str = "sort",
+    buckets: int | None = None,
+    levels: int | None = None,
 ):
     dtype = rows.dtype
     R = rows.shape[0]
@@ -90,7 +94,8 @@ def _knn_kernel(
             row_norms[:, None]
             + blk_norms[None, :]
             - 2.0
-            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype)
+            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype,
+                      precision=MATMUL_PRECISION)
         )
         same_chr = row_chr[:, None] == blk_chr[None, :]
         invalid = (
@@ -113,7 +118,8 @@ def _knn_kernel(
             # 300 + M*L survivors.  Collisions (> M of a row's true top-k in
             # one bucket) are caught by the caller's count-verification pass
             # and re-run exactly.
-            L, M = _BUCKETS, _LEVELS
+            L = buckets if buckets is not None else _BUCKETS
+            M = levels if levels is not None else _LEVELS
             G = d.shape[1] // L
             d3 = d.reshape(R, G, L)
             e3 = excl.reshape(R, G, L)
@@ -200,7 +206,8 @@ def _count_below_kernel(
             row_norms[:, None]
             + blk_norms[None, :]
             - 2.0
-            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype)
+            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype,
+                      precision=MATMUL_PRECISION)
         )
         valid = (
             (row_chr[:, None] != blk_chr[None, :])
@@ -208,7 +215,7 @@ def _count_below_kernel(
             & (d < SENTINEL_DISTANCE)
         )
         cnt = cnt + jnp.sum(
-            (valid & (d < tau[:, None])).astype(jnp.int32), axis=1
+            valid & (d < tau[:, None]), axis=1, dtype=jnp.int32
         )
         return cnt, None
 
@@ -244,6 +251,8 @@ def knn_search(
     col_tile: int = 1024,
     row_tile: int | None = None,
     merge_method: str | None = None,
+    buckets: int | None = None,
+    levels: int | None = None,
 ):
     """Exact per-bin K nearest neighbours over other-chromosome bins.
 
@@ -266,11 +275,23 @@ def knn_search(
     """
     if merge_method is None:
         merge_method = (
-            "bucket" if jax.default_backend() == "tpu" else "sort"
+            "pallas" if jax.default_backend() == "tpu" else "sort"
         )
-    if merge_method == "bucket" and col_tile % _BUCKETS:
+    if merge_method == "pallas":
+        from wisecondorx_tpu.ops.knn_pallas import knn_search_pallas
+
+        return knn_search_pallas(
+            data,
+            chr_of_bin,
+            masked_chr_starts,
+            masked_bins_per_chr,
+            ref_size=ref_size,
+            row_range=row_range,
+        )
+    n_buckets = buckets if buckets is not None else _BUCKETS
+    if merge_method == "bucket" and col_tile % n_buckets:
         raise ValueError(
-            f"col_tile ({col_tile}) must be a multiple of {_BUCKETS} "
+            f"col_tile ({col_tile}) must be a multiple of {n_buckets} "
             "for merge_method='bucket'"
         )
     n = data.shape[0]
@@ -319,6 +340,8 @@ def knn_search(
             ref_size=ref_size,
             col_tile=col_tile,
             merge_method=merge_method,
+            buckets=buckets,
+            levels=levels,
         )
         cnt = None
         if merge_method == "bucket":

@@ -1,0 +1,404 @@
+"""Fused Pallas KNN kernel: distance matmul + in-VMEM bucketed top-k.
+
+This is the TPU speed-of-light path for the within-sample reference search
+(reference newref_tools.py:255-278, the O(bins^2 x samples) wall).  The XLA
+pipeline in :mod:`wisecondorx_tpu.ops.knn` materializes every [rows, cols]
+distance block in HBM and pays a second full O(N^2 S) pass for count
+verification; here the block never leaves VMEM and verification is free:
+
+* grid = (row_tiles, col_blocks); col_blocks is the innermost (sequential)
+  axis, so the output refs — revisited across col blocks — act as VMEM
+  accumulators that flush to HBM once per row tile;
+* each step computes the [RT, L] squared-distance block as one MXU matmul
+  (``||t||^2 + ||c||^2 - 2 t c^T``) and bubbles it into a per-row bucketed
+  structure: bucket = global column mod L (L = lane count of the block, so
+  the bucket axis aligns elementwise with the distance block), each bucket
+  keeping its M smallest (value, index) pairs via an M-step compare-swap
+  cascade on the VPU;
+* every value that falls out of the cascade's bottom is folded into a
+  per-bucket ``min_drop``; after finalization a row provably contains its
+  exact top-k iff ``min(min_drop) > max(kept)`` — rows failing the check
+  (a bucket held > M true winners; probability ~1e-5 per row at the default
+  L=1024, M=6 geometry for k=300) are re-run through an exact dense path.
+
+The kernel works on centered + rescaled float32 data: depth-normalized bin
+profiles live at ~5e-6 with pairwise distances ~1e-12, where the norm-trick
+matmul cancels catastrophically in f32.  Distances are translation
+invariant, so the wrapper subtracts the per-sample mean profile and scales
+by the global RMS, turning working values O(1); reported distances are
+un-scaled afterwards.  See tests/test_knn_f32.py for the measured effect.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wisecondorx_tpu.ops.knn import SENTINEL_DISTANCE
+
+# Default geometry: buckets per row = lane width of one column block;
+# bucket depth M.  Candidate pool per row = L * M.
+LANES = 1024
+DEPTH = 6
+ROW_TILE = 256
+#: Rows per kernel launch; bounds the [chunk, L*M] HBM candidate buffers.
+ROW_CHUNK = 32768
+
+
+def _knn_bucket_kernel(nvalid_ref, sent_ref,
+                       rows_ref, rnorm_ref, rchr_ref, rstart_ref, rsize_ref,
+                       data_ref, cnorm_ref, cchr_ref,
+                       vals_ref, idx_ref, drop_ref,
+                       *, lanes: int, depth: int):
+    """One (row-tile, col-block) grid step of the fused search."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, jnp.inf)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+        drop_ref[:] = jnp.full_like(drop_ref, jnp.inf)
+
+    rt = rows_ref.shape[0]
+    # [RT, L] distance block on the MXU.
+    d = (
+        rnorm_ref[:]
+        + cnorm_ref[:]
+        - 2.0
+        * jax.lax.dot_general(
+            rows_ref[:], data_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    g = j * lanes + jax.lax.broadcasted_iota(jnp.int32, (rt, lanes), 1)
+    invalid = (
+        (rchr_ref[:] == cchr_ref[:])
+        | (g >= nvalid_ref[0, 0])
+        | (d >= sent_ref[0, 0])
+    )
+    d = jnp.where(invalid, jnp.inf, d)
+    # Own-chromosome-excluded candidate index (reference coordinate space).
+    excl = g - jnp.where(g >= rstart_ref[:], rsize_ref[:], 0)
+
+    # Bubble the incoming element through the sorted-M cascade; whatever
+    # exits the bottom is the dropped value for this bucket.
+    cur_v, cur_i = d, excl
+    for m in range(depth):
+        sl = slice(m * lanes, (m + 1) * lanes)
+        v_m = vals_ref[:, sl]
+        i_m = idx_ref[:, sl]
+        take = cur_v < v_m
+        vals_ref[:, sl] = jnp.where(take, cur_v, v_m)
+        idx_ref[:, sl] = jnp.where(take, cur_i, i_m)
+        cur_v = jnp.where(take, v_m, cur_v)
+        cur_i = jnp.where(take, i_m, cur_i)
+    drop_ref[:] = jnp.minimum(drop_ref[:], cur_v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lanes", "depth", "row_tile", "interpret"),
+)
+def _bucket_scan(rows, rnorm, rchr, rstart, rsize,
+                 data, cnorm, cchr, n_valid, sentinel,
+                 *, lanes: int, depth: int, row_tile: int,
+                 interpret: bool = False):
+    """Launch the fused kernel over one row chunk.
+
+    rows: [R_pad, S_pad] f32 target vectors (R_pad % row_tile == 0).
+    data: [N_pad, S_pad] f32 candidates (N_pad % lanes == 0).
+    Returns (vals [R_pad, L*M], idx int32 [R_pad, L*M], drop [R_pad, L]).
+    """
+    r_pad, s_pad = rows.shape
+    n_pad = data.shape[0]
+    grid = (r_pad // row_tile, n_pad // lanes)
+
+    kernel = functools.partial(_knn_bucket_kernel, lanes=lanes, depth=depth)
+    out_shape = (
+        jax.ShapeDtypeStruct((r_pad, lanes * depth), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, lanes * depth), jnp.int32),
+        jax.ShapeDtypeStruct((r_pad, lanes), jnp.float32),
+    )
+    flops = 2 * r_pad * n_pad * s_pad
+    vals, idx, drop = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sentinel (1,)
+            pl.BlockSpec((row_tile, s_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, s_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((row_tile, lanes * depth), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, lanes * depth), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, lanes), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                grid[0] * n_pad * s_pad * 4 + r_pad * s_pad * 4
+                + r_pad * lanes * depth * 8
+            ),
+            transcendentals=0,
+        ),
+        # v5e's default scoped-VMEM budget (16 MB) is below this kernel's
+        # working set (accumulator blocks + double-buffered data blocks);
+        # the physical VMEM is far larger, so raise the cap to fit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(
+                    110 * 2**20,
+                    2.0
+                    * (
+                        row_tile * lanes * depth * 8  # vals+idx blocks
+                        + row_tile * lanes * 4  # drop block
+                        + 2 * lanes * s_pad * 4  # data double-buffer
+                        + 2 * row_tile * s_pad * 4
+                        + 8 * row_tile * lanes * 4  # d/temp registers
+                    )
+                    + 2**21,
+                )
+            ),
+        ),
+        interpret=interpret,
+    )(n_valid, sentinel, rows, rnorm, rchr, rstart, rsize, data, cnorm, cchr)
+    return vals, idx, drop
+
+
+@functools.partial(jax.jit, static_argnames=("ref_size",))
+def _finalize(vals, idx, drop, *, ref_size: int):
+    """Exact top-k over the candidate pool + per-row exactness certificate.
+
+    flagged[r] is True when a bucket of row r may have dropped a true
+    top-k member: the smallest value ever dropped is <= the worst kept
+    distance (ties included, to stay conservative).
+    """
+    neg_top, arg = jax.lax.approx_max_k(-vals, ref_size, recall_target=1.0)
+    top_vals = -neg_top
+    top_idx = jnp.take_along_axis(idx, arg, axis=1)
+    finite = jnp.isfinite(top_vals)
+    tau = jnp.max(jnp.where(finite, top_vals, -jnp.inf), axis=1)
+    min_drop = jnp.min(drop, axis=1)
+    flagged = jnp.isfinite(min_drop) & (min_drop <= tau)
+    return top_vals, top_idx, flagged
+
+
+@functools.partial(jax.jit, static_argnames=("ref_size",))
+def _exact_rows(rows, rnorm, rchr, rstart, rsize,
+                data, cnorm, cchr, n_valid, sentinel, *, ref_size: int):
+    """Dense exact re-run for verification-flagged rows (few; one matmul)."""
+    d = (
+        rnorm[:, None]
+        + cnorm[None, :]
+        - 2.0
+        * jnp.dot(
+            rows, data.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    n_pad = data.shape[0]
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    invalid = (rchr[:, None] == cchr[None, :]) | (g >= n_valid) | (d >= sentinel)
+    d = jnp.where(invalid, jnp.inf, d)
+    excl = g - jnp.where(g >= rstart[:, None], rsize[:, None], 0)
+    neg_top, arg = jax.lax.approx_max_k(-d, ref_size, recall_target=1.0)
+    top_idx = jnp.take_along_axis(excl, arg, axis=1)
+    return -neg_top, top_idx
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def knn_search_pallas(
+    data: np.ndarray,
+    chr_of_bin: np.ndarray,
+    masked_chr_starts: np.ndarray,
+    masked_bins_per_chr: np.ndarray,
+    ref_size: int = 300,
+    row_range: tuple[int, int] | None = None,
+    *,
+    lanes: int = LANES,
+    depth: int = DEPTH,
+    row_tile: int = ROW_TILE,
+    row_chunk: int = ROW_CHUNK,
+    interpret: bool = False,
+    _stats: dict | None = None,
+):
+    """Exact per-bin KNN via the fused Pallas kernel (f32, TPU-first).
+
+    Same contract as :func:`wisecondorx_tpu.ops.knn.knn_search`: returns
+    (indexes int32[rows, ref_size], distances f32[rows, ref_size]) with
+    indexes in the reference's own-chromosome-excluded coordinate space,
+    unfilled slots as -1 / 1e10, and candidates at distance >= 1e10 never
+    selected.  Tie order at the k boundary is unspecified (the XLA "sort"
+    path provides bisect-order parity when needed).
+
+    ``_stats`` (optional dict) receives diagnostics: number of
+    verification-flagged rows, the scale factor, etc.
+    """
+    data = np.asarray(data)
+    n, s = data.shape
+    r0, r1 = row_range if row_range is not None else (0, n)
+    n_rows = r1 - r0
+    if n_rows <= 0:
+        return (
+            np.zeros((0, ref_size), dtype=np.int32),
+            np.zeros((0, ref_size), dtype=np.float32),
+        )
+
+    # Center (distance-invariant) and rescale so f32 working values are
+    # O(1): kills the ||a||^2+||b||^2-2ab cancellation at the ~1e-12
+    # distance scale of depth-normalized profiles.
+    mu = data.mean(axis=0, dtype=np.float64)
+    work = data.astype(np.float64) - mu
+    rms = float(np.sqrt(np.mean(work * work)))
+    if not np.isfinite(rms) or rms == 0.0:
+        rms = 1.0
+    scale = 1.0 / rms
+    work = (work * scale).astype(np.float32)
+    sent_scaled = SENTINEL_DISTANCE * scale * scale
+    # Keep the sentinel representable with headroom below f32 inf.
+    sent_scaled = min(sent_scaled, 1e30)
+
+    s_pad = _round_up(s, 128)
+    n_pad = _round_up(n, lanes)
+    cand = np.zeros((n_pad, s_pad), dtype=np.float32)
+    cand[:n, :s] = work
+    col_chr = np.full(n_pad, -2, dtype=np.int32)
+    col_chr[:n] = chr_of_bin
+    cnorm = (cand.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+
+    starts = np.asarray(masked_chr_starts, dtype=np.int64)
+    sizes = np.asarray(masked_bins_per_chr, dtype=np.int64)
+    # Per-row exclusion tables (chromosome id -> start/size).
+    all_chr = col_chr[r0:r1]
+    row_start_all = np.where(
+        all_chr >= 0, starts[np.clip(all_chr, 0, len(starts) - 1)], 0
+    ).astype(np.int32)
+    row_size_all = np.where(
+        all_chr >= 0, sizes[np.clip(all_chr, 0, len(sizes) - 1)], 0
+    ).astype(np.int32)
+
+    cand_j = jnp.asarray(cand)
+    cnorm_j = jnp.asarray(cnorm.reshape(1, -1))
+    cchr_j = jnp.asarray(col_chr.reshape(1, -1))
+    nvalid_j = jnp.asarray([[n]], dtype=jnp.int32)
+    sent_j = jnp.asarray([[sent_scaled]], dtype=jnp.float32)
+
+    indexes = np.empty((n_rows, ref_size), dtype=np.int32)
+    distances = np.empty((n_rows, ref_size), dtype=np.float32)
+    flagged_global: list[np.ndarray] = []
+
+    row_chunk = max(row_tile, _round_up(min(row_chunk, n_rows), row_tile))
+    pending = []
+    for cs in range(0, n_rows, row_chunk):
+        ce = min(cs + row_chunk, n_rows)
+        r_pad = _round_up(ce - cs, row_tile)
+        rows = np.zeros((r_pad, s_pad), dtype=np.float32)
+        rows[: ce - cs] = cand[r0 + cs : r0 + ce]
+        rchr = np.full((r_pad, 1), -2, dtype=np.int32)
+        rchr[: ce - cs, 0] = all_chr[cs:ce]
+        rstart = np.zeros((r_pad, 1), dtype=np.int32)
+        rstart[: ce - cs, 0] = row_start_all[cs:ce]
+        rsize = np.zeros((r_pad, 1), dtype=np.int32)
+        rsize[: ce - cs, 0] = row_size_all[cs:ce]
+        rnorm = (rows.astype(np.float64) ** 2).sum(
+            axis=1, keepdims=True
+        ).astype(np.float32)
+
+        vals, idx, drop = _bucket_scan(
+            jnp.asarray(rows), jnp.asarray(rnorm), jnp.asarray(rchr),
+            jnp.asarray(rstart), jnp.asarray(rsize),
+            cand_j, cnorm_j, cchr_j, nvalid_j, sent_j,
+            lanes=lanes, depth=depth, row_tile=row_tile,
+            interpret=interpret,
+        )
+        top_vals, top_idx, flg = _finalize(vals, idx, drop, ref_size=ref_size)
+        # Async dispatch: results fetched after all chunks are queued.
+        pending.append((cs, ce, top_vals, top_idx, flg))
+
+    for cs, ce, top_vals, top_idx, flg in pending:
+        tv = np.asarray(top_vals)[: ce - cs]
+        ti = np.asarray(top_idx)[: ce - cs]
+        fl = np.asarray(flg)[: ce - cs]
+        unfilled = ~np.isfinite(tv)
+        distances[cs:ce] = np.where(unfilled, SENTINEL_DISTANCE, tv)
+        indexes[cs:ce] = np.where(unfilled, -1, ti)
+        flagged_global.append(np.nonzero(fl)[0] + cs)
+
+    flagged = (
+        np.concatenate(flagged_global)
+        if flagged_global
+        else np.zeros(0, np.int64)
+    )
+    if _stats is not None:
+        _stats["flagged_rows"] = int(flagged.size)
+        _stats["scale"] = scale
+        _stats["n_rows"] = n_rows
+    if flagged.size:
+        tile = 512
+        for fs in range(0, int(flagged.size), tile):
+            rows_f = flagged[fs : fs + tile]
+            pad_n = tile - rows_f.size
+            frows = np.concatenate(
+                [cand[r0 + rows_f], np.zeros((pad_n, s_pad), np.float32)]
+            )
+            fnorm = (frows.astype(np.float64) ** 2).sum(axis=1).astype(
+                np.float32
+            )
+            fchr = np.concatenate(
+                [all_chr[rows_f], np.full(pad_n, -2, np.int32)]
+            )
+            fstart = np.concatenate(
+                [row_start_all[rows_f], np.zeros(pad_n, np.int32)]
+            )
+            fsize = np.concatenate(
+                [row_size_all[rows_f], np.zeros(pad_n, np.int32)]
+            )
+            fvals, fidx = _exact_rows(
+                jnp.asarray(frows), jnp.asarray(fnorm), jnp.asarray(fchr),
+                jnp.asarray(fstart), jnp.asarray(fsize),
+                cand_j, cnorm_j[0], cchr_j[0],
+                jnp.int32(n), jnp.float32(sent_scaled),
+                ref_size=ref_size,
+            )
+            fv = np.asarray(fvals)[: rows_f.size]
+            fi = np.asarray(fidx)[: rows_f.size]
+            unfilled = ~np.isfinite(fv)
+            distances[rows_f] = np.where(unfilled, SENTINEL_DISTANCE, fv)
+            indexes[rows_f] = np.where(unfilled, -1, fi)
+
+    # Un-scale finite distances back to the data's own units.
+    finite = distances < SENTINEL_DISTANCE
+    distances = np.where(
+        finite, distances / np.float32(scale * scale), distances
+    ).astype(np.float32)
+    return indexes, distances

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wisecondorx_tpu.ops.common import MATMUL_PRECISION
+
 
 @jax.jit
 def _gram_kernel(data_bs):
@@ -30,7 +32,8 @@ def _gram_kernel(data_bs):
     x = data_bs.T  # [samples, bins]
     mean = jnp.mean(x, axis=0)
     xc = x - mean
-    gram = jnp.dot(xc, xc.T, preferred_element_type=xc.dtype)
+    gram = jnp.dot(xc, xc.T, preferred_element_type=xc.dtype,
+                   precision=MATMUL_PRECISION)
     return gram, mean
 
 
@@ -40,11 +43,13 @@ def _correct_kernel(data_bs, mean, u):
     and divide out the rank-k reconstruction ``U U^T Xc + mean``."""
     x = data_bs.T
     xc = x - mean
-    coeffs = jnp.dot(u.T, xc, preferred_element_type=xc.dtype)  # [k, bins]
+    coeffs = jnp.dot(u.T, xc, preferred_element_type=xc.dtype,
+                     precision=MATMUL_PRECISION)  # [k, bins]
     norms = jnp.linalg.norm(coeffs, axis=1, keepdims=True)
     components = coeffs / jnp.where(norms > 0, norms, 1.0)
     reconstructed = jnp.dot(
-        u, coeffs, preferred_element_type=xc.dtype
+        u, coeffs, preferred_element_type=xc.dtype,
+        precision=MATMUL_PRECISION,
     ) + mean
     corrected = x / reconstructed
     return corrected.T, components
@@ -79,9 +84,12 @@ def project_sample(sample_bins, components, mean):
     Two small matvecs — XLA fuses these into the surrounding predict graph.
     """
     coeffs = jnp.dot(
-        sample_bins - mean, components.T, preferred_element_type=sample_bins.dtype
+        sample_bins - mean, components.T,
+        preferred_element_type=sample_bins.dtype,
+        precision=MATMUL_PRECISION,
     )
     reconstructed = jnp.dot(
-        coeffs, components, preferred_element_type=sample_bins.dtype
+        coeffs, components, preferred_element_type=sample_bins.dtype,
+        precision=MATMUL_PRECISION,
     ) + mean
     return sample_bins / reconstructed

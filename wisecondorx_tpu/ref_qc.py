@@ -1,201 +1,253 @@
 """Reference quality control.
 
-Vectorized rebuild of reference ref_qc.py:1-218 (a fork addition): per
-gender pass, per-bin mean/max neighbour distance and neighbour-count
-statistics feed PASS/WARN/FAIL heuristics.  Note the reference's newref
-stage *calls* qc_reference without importing it and dies with NameError
-after writing its outputs (reference main.py:135, SURVEY.md 2.15) — here
-the call is real.
+Scores a built reference npz before it is used for prediction.  The
+behavioral contract (metric definitions, thresholds and the first-match
+decision order) follows reference ref_qc.py:22-137 — a fork addition —
+but the statistics here are computed as whole-array reductions rather
+than the reference's per-bin Python loop, and the rule chains are data
+(ordered rule tables) rather than if-cascades.
+
+Metrics per pass (A / F / M key suffix):
+
+* per-bin mean neighbour distance, its cohort mean and spread;
+* the share of bins whose mean distance sits >= 3 sigma above the cohort
+  mean ("outlier bins");
+* bins holding fewer than 150 neighbour slots;
+* for the M pass, the same numbers restricted to chrY.
+
+Thresholds (kept verbatim from the reference, they are the spec):
+150 neighbour slots; spread 2 / 10 (F passes), mean 2 / 10 (M pass),
+chrY mean 5 / 100, outlier share 1%.
+
+The reference's ``newref`` stage calls ``qc_reference`` without importing
+it and dies with NameError after writing its outputs (reference
+main.py:135, SURVEY.md 2.15); here the call is wired for real
+(see cli.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
+import math
 from pathlib import Path
 
 import numpy as np
 
-MINREFBINS = 150
-OUTLIER_N_SIGMA = 3
+#: A bin serving fewer neighbour slots than this is considered shallow.
+MIN_NEIGHBOUR_SLOTS = 150
+#: Sigma multiplier defining a distance-outlier bin.
+OUTLIER_SIGMA = 3
 
 PASS, WARN, FAIL = 0, 1, 2
+_SEVERITY_NAME = {PASS: "PASS", WARN: "WARN", FAIL: "FAIL"}
+_SEVERITY_LOG = {PASS: logging.info, WARN: logging.warning, FAIL: logging.error}
 
 
-def _gender_suffixes(keys):
-    out = []
-    if "bins_per_chr.F" in keys:
-        out.append(".F")
-    if "bins_per_chr.M" in keys:
-        out.append(".M")
-    if "bins_per_chr" in keys and not out:
-        out.append("")
-    return out
+@dataclasses.dataclass
+class PassStats:
+    """Distance statistics for one reference pass (or its chrY slice)."""
+
+    n_bins: int = 0
+    n_usable: int = 0  # bins with a finite mean distance
+    dist_mean: float = math.nan  # cohort mean of per-bin mean distances
+    dist_spread: float = math.nan  # cohort std of per-bin mean distances
+    n_outliers: int = 0
+    pct_outliers: float = 0.0
+    n_shallow: int = 0  # bins with < MIN_NEIGHBOUR_SLOTS neighbour slots
+    chr_y: "PassStats | None" = None
+
+    @property
+    def usable(self) -> bool:
+        return self.n_usable > 0
 
 
-def _compute_metrics(ref, suf):
-    idx_key, dist_key = "indexes" + suf, "distances" + suf
-    if idx_key not in ref or dist_key not in ref:
+def _reduce(mean_d: np.ndarray, slots: np.ndarray, outlier_cut: float | None):
+    """Whole-array reduction of per-bin mean distances into a PassStats.
+
+    ``outlier_cut`` is inherited from the full pass when reducing the chrY
+    slice (the reference anchors chrY outliers to the pass-wide cutoff,
+    ref_qc.py:41-66)."""
+    st = PassStats(n_bins=int(mean_d.shape[0]))
+    finite = np.isfinite(mean_d)
+    st.n_usable = int(finite.sum())
+    if not st.n_usable:
+        return st, outlier_cut
+    good = mean_d[finite]
+    st.dist_mean = float(good.mean())
+    st.dist_spread = float(good.std())
+    if outlier_cut is None:
+        outlier_cut = st.dist_mean + OUTLIER_SIGMA * st.dist_spread
+    st.n_outliers = int((good >= outlier_cut).sum())
+    st.pct_outliers = 100.0 * st.n_outliers / st.n_usable
+    st.n_shallow = int((slots < MIN_NEIGHBOUR_SLOTS).sum())
+    return st, outlier_cut
+
+
+def _pass_stats(ref, suffix: str) -> PassStats | None:
+    """Extract + reduce one pass from an opened reference npz."""
+    try:
+        distances = np.atleast_2d(
+            np.asarray(ref["distances" + suffix], dtype=float)
+        )
+        indexes = np.atleast_2d(ref["indexes" + suffix])
+    except KeyError:
         return None
-    indexes = np.atleast_2d(ref[idx_key])
-    distances = np.atleast_2d(np.asarray(ref[dist_key], dtype=float))
-    n_bins = len(indexes)
-    if n_bins == 0:
-        return {"n_bins": 0}
+    if not len(indexes):
+        return PassStats()
 
     mean_d = distances.mean(axis=1)
-    n_refs = np.full(n_bins, indexes.shape[1], dtype=int)
-    valid = np.isfinite(mean_d)
-    n_valid = int(valid.sum())
-    if n_valid == 0:
-        return {"n_bins": n_bins, "n_valid": 0}
+    # The reference counts allocated neighbour slots, not filled ones
+    # (ref_qc.py:37) — a shallow verdict therefore only fires when the
+    # reference was built with refsize < 150.
+    slots = np.full(mean_d.shape[0], indexes.shape[1], dtype=np.int64)
+    st, cut = _reduce(mean_d, slots, None)
 
-    mean_of_means = float(mean_d[valid].mean())
-    std_of_means = float(mean_d[valid].std())
-    cutoff_outlier = mean_of_means + OUTLIER_N_SIGMA * std_of_means
-    n_mean_outlier = int(np.sum(mean_d[valid] >= cutoff_outlier))
-    n_low_refs = int(np.sum(n_refs < MINREFBINS))
-    metrics = {
-        "n_bins": n_bins,
-        "n_valid": n_valid,
-        "mean_of_means": mean_of_means,
-        "std_of_means": std_of_means,
-        "n_mean_outlier": n_mean_outlier,
-        "outlier_pct": 100.0 * n_mean_outlier / n_valid,
-        "n_low_refs": n_low_refs,
-        "chrY": None,
-    }
-
-    if suf == ".M":
-        key = "masked_bins_per_chr_cum" + suf
-        if key in ref:
-            mbpcc = np.atleast_1d(ref[key][...])
-            if len(mbpcc) >= 24:
-                start, end = int(mbpcc[22]), int(mbpcc[23])
-                if start < end:
-                    m = mean_d[start:end]
-                    r = n_refs[start:end]
-                    v = np.isfinite(m)
-                    cy = {"n_bins": end - start, "n_valid": int(v.sum())}
-                    if v.any():
-                        cy.update(
-                            mean_of_means=float(m[v].mean()),
-                            std_of_means=float(m[v].std()),
-                            n_mean_outlier=int(
-                                np.sum(m[v] >= cutoff_outlier)
-                            ),
-                            n_low_refs=int(np.sum(r < MINREFBINS)),
-                        )
-                    else:
-                        cy["mean_of_means"] = float("nan")
-                    metrics["chrY"] = cy
-                else:
-                    metrics["chrY"] = {"n_bins": 0}
-    return metrics
+    if suffix == ".M" and st.usable:
+        cum_key = "masked_bins_per_chr_cum" + suffix
+        if cum_key in ref:
+            cum = np.atleast_1d(ref[cum_key][...])
+            if len(cum) >= 24:
+                y0, y1 = int(cum[22]), int(cum[23])
+                st.chr_y, _ = _reduce(mean_d[y0:y1], slots[y0:y1], cut)
+    return st
 
 
-def _verdict_f(m):
-    if m is None or m.get("n_valid", 0) == 0:
-        return FAIL, "no data"
-    if m["n_low_refs"] > 0:
-        return WARN, f"n_refs<{MINREFBINS} in {m['n_low_refs']} bins"
-    if m["std_of_means"] > 10:
-        return FAIL, f"std(per-bin mean dist) = {m['std_of_means']:.2f} (high)"
-    if m["std_of_means"] > 2:
-        return WARN, f"std(per-bin mean dist) = {m['std_of_means']:.2f}"
-    if m["outlier_pct"] > 1:
-        return WARN, f"outlier bins = {m['outlier_pct']:.2f}%"
+# Ordered first-match rule chains.  Order is part of the contract: a
+# shallow-slots WARN shadows a spread/mean FAIL, exactly as in the
+# reference's if-cascade (ref_qc.py:105-137).
+_RULES_AUTOSOMAL = (
+    (lambda s: s.n_shallow > 0, WARN,
+     lambda s: f"{s.n_shallow} bins hold fewer than "
+               f"{MIN_NEIGHBOUR_SLOTS} neighbour slots"),
+    (lambda s: s.dist_spread > 10, FAIL,
+     lambda s: f"mean-distance spread {s.dist_spread:.2f} is far above "
+               "normal"),
+    (lambda s: s.dist_spread > 2, WARN,
+     lambda s: f"mean-distance spread {s.dist_spread:.2f} is elevated"),
+    (lambda s: s.pct_outliers > 1, WARN,
+     lambda s: f"{s.pct_outliers:.2f}% of bins are {OUTLIER_SIGMA}-sigma "
+               "distance outliers"),
+)
+
+_RULES_MALE = (
+    (lambda s: s.n_shallow > 0, WARN,
+     lambda s: f"{s.n_shallow} bins hold fewer than "
+               f"{MIN_NEIGHBOUR_SLOTS} neighbour slots"),
+    (lambda s: s.dist_mean > 10, FAIL,
+     lambda s: f"cohort mean distance {s.dist_mean:.2f} indicates a heavy "
+               "tail"),
+    (lambda s: s.dist_mean > 2, WARN,
+     lambda s: f"cohort mean distance {s.dist_mean:.2f} is elevated"),
+    (lambda s: s.chr_y is not None and s.chr_y.usable
+     and s.chr_y.dist_mean > 100, FAIL,
+     lambda s: f"chrY mean distance {s.chr_y.dist_mean:.1f} — chrY is "
+               "effectively unusable"),
+    (lambda s: s.chr_y is not None and s.chr_y.usable
+     and s.chr_y.dist_mean > 5, WARN,
+     lambda s: f"chrY mean distance {s.chr_y.dist_mean:.1f} is high"),
+    (lambda s: s.pct_outliers > 1, WARN,
+     lambda s: f"{s.pct_outliers:.2f}% of bins are {OUTLIER_SIGMA}-sigma "
+               "distance outliers"),
+)
+
+
+def _judge(stats: PassStats | None, rules) -> tuple[int, str]:
+    if stats is None or not stats.usable:
+        return FAIL, "pass contains no usable distance data"
+    for predicate, severity, message in rules:
+        if predicate(stats):
+            return severity, message(stats)
     return PASS, ""
 
 
-def _verdict_m(m):
-    if m is None or m.get("n_valid", 0) == 0:
-        return FAIL, "no data"
-    if m["n_low_refs"] > 0:
-        return WARN, f"n_refs<{MINREFBINS} in {m['n_low_refs']} bins"
-    if m["mean_of_means"] > 10:
-        return FAIL, (
-            f"mean(per-bin mean dist) = {m['mean_of_means']:.2f} (heavy tail)"
-        )
-    if m["mean_of_means"] > 2:
-        return WARN, f"mean(per-bin mean dist) = {m['mean_of_means']:.2f}"
-    cy = m.get("chrY")
-    if (
-        cy
-        and cy.get("n_valid", 0) > 0
-        and np.isfinite(cy.get("mean_of_means", float("nan")))
-    ):
-        ym = cy["mean_of_means"]
-        if ym > 100:
-            return FAIL, f"chrY mean distance = {ym:.1f} (very poor chrY)"
-        if ym > 5:
-            return WARN, f"chrY mean distance = {ym:.1f}"
-    if m["outlier_pct"] > 1:
-        return WARN, f"outlier bins = {m['outlier_pct']:.2f}%"
-    return PASS, ""
+def _passes_in(ref) -> list[str]:
+    """Key suffixes present: sex-specific passes win over the plain one."""
+    keys = set(ref.keys())
+    found = [s for s in (".F", ".M") if "bins_per_chr" + s in keys]
+    if not found and "bins_per_chr" in keys:
+        found = [""]
+    return found
+
+
+def _describe(st: PassStats) -> str:
+    return (
+        f"bins={st.n_bins} mean_dist={st.dist_mean:.4f} "
+        f"spread={st.dist_spread:.4f} outliers={st.n_outliers} "
+        f"({st.pct_outliers:.2f}%) shallow(<{MIN_NEIGHBOUR_SLOTS})="
+        f"{st.n_shallow}"
+    )
 
 
 def qc_reference(npz_path) -> int:
-    """Check a reference npz for common quality issues.
+    """Score a reference npz; returns the worst severity: 0/1/2.
 
-    Returns the worst severity found: 0 (PASS), 1 (WARN), 2 (FAIL).
+    Logs one metrics line per pass (plus a chrY detail line for the M
+    pass) and an overall verdict.
     """
-    npz = Path(npz_path).resolve()
-    if not npz.exists():
-        logging.error("QC check skipped: file not found: %s", npz)
+    path = Path(npz_path).resolve()
+    if not path.exists():
+        logging.error("Reference QC skipped — file not found: %s", path)
         return FAIL
 
-    ref = np.load(npz, encoding="latin1", allow_pickle=True)
-    try:
-        binsize = int(np.atleast_1d(ref["binsize"])[0])
-    except Exception:
-        binsize = None
-
-    suffixes = _gender_suffixes(list(ref.keys()))
-    if not suffixes:
-        logging.error(
-            "QC failed: no bins_per_chr / bins_per_chr.F / bins_per_chr.M "
-            "in npz"
-        )
-        return FAIL
-
-    logging.info("Starting ref-QC for file: %s", npz)
-    logging.info("Reference binsize: %s bp", binsize or "(unknown)")
-
-    worst = PASS
-    for suf in suffixes:
-        label = "F" if suf == ".F" else "M" if suf == ".M" else "A"
-        m = _compute_metrics(ref, suf)
-        if m is None:
-            logging.warning("[%s] no indexes/distances — skip", label)
-            continue
-        if m.get("n_valid", 0) == 0:
+    with np.load(path, encoding="latin1", allow_pickle=True) as ref:
+        passes = _passes_in(ref)
+        if not passes:
             logging.error(
-                "[%s] n_bins=%d, n_valid=0 — FAIL", label, m["n_bins"]
+                "Reference QC: %s has no bins_per_chr key in any pass — "
+                "not a reference npz?",
+                path,
             )
-            worst = max(worst, FAIL)
-            continue
+            return FAIL
 
-        verdict, msg = (_verdict_m if label == "M" else _verdict_f)(m)
-        worst = max(worst, verdict)
-        log = {PASS: logging.info, WARN: logging.warning, FAIL: logging.error}[
-            verdict
-        ]
-        log(
-            "[%s] n_bins=%d, mean(dist)=%.4f, std(dist)=%.4f, "
-            "outliers=%d (%.2f%%), n_refs<%d=%d",
-            label, m["n_bins"], m["mean_of_means"], m["std_of_means"],
-            m["n_mean_outlier"], m["outlier_pct"], MINREFBINS, m["n_low_refs"],
+        try:
+            binsize = int(np.atleast_1d(ref["binsize"])[0])
+        except (KeyError, TypeError, ValueError):
+            binsize = None
+        logging.info(
+            "Reference QC on %s (binsize %s)",
+            path,
+            f"{binsize} bp" if binsize else "unknown",
         )
-        verdict_name = {PASS: "PASS", WARN: "WARN", FAIL: "FAIL"}[verdict]
-        log("         -> %s%s", verdict_name, f": {msg}" if msg else "")
+
+        worst = PASS
+        for suffix in passes:
+            label = {"": "A", ".F": "F", ".M": "M"}[suffix]
+            stats = _pass_stats(ref, suffix)
+            if stats is None:
+                logging.warning(
+                    "[%s] pass has no indexes/distances keys — skipped",
+                    label,
+                )
+                continue
+
+            rules = _RULES_MALE if label == "M" else _RULES_AUTOSOMAL
+            severity, reason = _judge(stats, rules)
+            worst = max(worst, severity)
+            emit = _SEVERITY_LOG[severity]
+            if stats.usable:
+                emit("[%s] %s", label, _describe(stats))
+                if stats.chr_y is not None and stats.chr_y.usable:
+                    emit("[%s]   chrY: %s", label, _describe(stats.chr_y))
+            else:
+                emit("[%s] bins=%d, none usable", label, stats.n_bins)
+            emit(
+                "[%s] verdict: %s%s",
+                label,
+                _SEVERITY_NAME[severity],
+                f" — {reason}" if reason else "",
+            )
 
     if worst == PASS:
-        logging.info("QC Overall Verdict: PASS")
+        logging.info("Reference QC verdict: PASS")
     elif worst == WARN:
-        logging.warning("QC Overall Verdict: WARN (review metrics above)")
+        logging.warning(
+            "Reference QC verdict: WARN — inspect the per-pass metrics above"
+        )
     else:
         logging.error(
-            "QC Overall Verdict: FAIL (ref may cause poor predictions; "
-            "consider rebuilding or more samples)"
+            "Reference QC verdict: FAIL — predictions from this reference "
+            "are likely unreliable; rebuild it from more or cleaner "
+            "control samples"
         )
     return worst
