@@ -77,3 +77,70 @@ def test_cli_predict_requires_output_format(workdir):
     ref_path = str(tmp / "reference.npz")
     with pytest.raises(SystemExit):
         cli_main(["predict", test_path, ref_path, str(tmp / "x")])
+
+
+def test_cli_predict_batch(workdir):
+    """predict-batch scores several samples in one invocation (sharded
+    over the 8 virtual devices); per-sample outputs match the
+    single-sample predict outputs (numerically — the vmapped kernel's
+    fusion differs from the single-sample one at the ~1e-15 level)."""
+    tmp, infiles, test_path = workdir
+    ref_path = str(tmp / "reference.npz")
+    sim = CohortSim(binsize=1e5, genome_scale=0.006, seed=123)
+    second = sim.sample("F", cnvs=[(9, 2, 6, 3.0)])
+    second_path = str(tmp / "case2.npz")
+    io_npz.save_sample_npz(second_path, 100000, second, {"mapped": 1})
+
+    outdir = str(tmp / "batch_out")
+    cli_main(
+        [
+            "predict-batch", ref_path, outdir,
+            "--infiles", test_path, second_path,
+            "--minrefbins", "10", "--bed", "--seed", "7",
+        ]
+    )
+    # single-sample runs with the same seed
+    for path, name in ((test_path, "case"), (second_path, "case2")):
+        single_outid = str(tmp / f"single_{name}")
+        cli_main(
+            [
+                "predict", path, ref_path, single_outid,
+                "--minrefbins", "10", "--bed", "--seed", "7",
+            ]
+        )
+        batch_outid = os.path.join(outdir, name)
+
+        def rows(path):
+            lines = open(path).read().strip().split("\n")
+            return [l.split("\t") for l in lines[1:]]
+
+        # segments get a looser tolerance: CBS decisions on near-alpha
+        # p-values can flip under the vmap-vs-single ~1e-15 input noise,
+        # nudging low-amplitude segment statistics
+        for suffix, rtol, atol in (
+            ("_bins.bed", 1e-8, 1e-9),
+            ("_segments.bed", 5e-2, 5e-3),
+        ):
+            got = rows(batch_outid + suffix)
+            want = rows(single_outid + suffix)
+            assert len(got) == len(want), f"{name}{suffix} row count"
+            for g, w in zip(got, want):
+                assert g[:3] == w[:3], f"{name}{suffix} coords"
+                for gv, wv in zip(g[3:], w[3:]):
+                    try:
+                        gf, wf = float(gv), float(wv)
+                    except ValueError:
+                        assert gv == wv
+                        continue
+                    # the 0 -> "nan" blacklist rule (tables.py, reference
+                    # predict_output.py) makes a bin sitting exactly at the
+                    # median log-ratio print as nan in one path and ~1e-18
+                    # in the other
+                    if (np.isnan(gf) and (np.isnan(wf) or abs(wf) < 1e-12)) \
+                            or (np.isnan(wf) and abs(gf) < 1e-12):
+                        continue
+                    np.testing.assert_allclose(gf, wf, rtol=rtol, atol=atol)
+        # aberration calls (chr + direction) must agree exactly
+        got_calls = [(r[0], r[-1]) for r in rows(batch_outid + "_aberrations.bed")]
+        want_calls = [(r[0], r[-1]) for r in rows(single_outid + "_aberrations.bed")]
+        assert got_calls == want_calls

@@ -122,3 +122,73 @@ def test_batched_predict_no_mesh(setup):
         np.testing.assert_allclose(
             batch.results_r[c], single.results_r[c], rtol=1e-10
         )
+
+
+def test_multidevice_knn_bit_equal_with_ties(setup):
+    """The production multi-device row split must be bit-equal to the
+    single-device search, including on engineered distance ties (each part
+    runs the stable "sort" merge over the full candidate axis, so tie
+    order is unaffected by where the row-partition boundaries fall)."""
+    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+    from wisecondorx_tpu.parallel.sharded_knn import knn_search_multidevice
+
+    sim, passes, _ = setup
+    a = passes["A"]
+    ml = MaskedLayout(
+        GenomeLayout(np.asarray(a["bins_per_chr"])),
+        np.asarray(a["mask"], bool),
+    )
+    rng = np.random.default_rng(7)
+    # Integer-quantized data => massive numbers of exact distance ties.
+    data = rng.integers(0, 3, size=(ml.n_masked, 12)).astype(np.float64)
+
+    idx1, dist1 = knn_ops.knn_search(
+        data,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=25,
+        col_tile=128,
+    )
+    # ties really occur at the k boundary
+    assert (np.sort(dist1, axis=1)[:, -1] == np.sort(dist1, axis=1)[:, -2]).any()
+
+    idx8, dist8 = knn_search_multidevice(
+        data,
+        ml.chr_of_masked_bin,
+        ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+        ref_size=25,
+        devices=jax.devices(),
+        col_tile=128,
+    )
+    np.testing.assert_array_equal(idx1, idx8)
+    np.testing.assert_array_equal(dist1, dist8)
+
+
+def test_multidevice_knn_row_range(setup):
+    """Gonosomal-pass row ranges split correctly across devices."""
+    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+    from wisecondorx_tpu.parallel.sharded_knn import knn_search_multidevice
+
+    sim, passes, _ = setup
+    a = passes["A"]
+    ml = MaskedLayout(
+        GenomeLayout(np.asarray(a["bins_per_chr"])),
+        np.asarray(a["mask"], bool),
+    )
+    rng = np.random.default_rng(3)
+    data = rng.normal(1.0, 0.02, size=(ml.n_masked, 15))
+    rr = (int(ml.masked_chr_starts[10]), ml.n_masked)
+
+    idx1, dist1 = knn_ops.knn_search(
+        data, ml.chr_of_masked_bin, ml.masked_chr_starts,
+        ml.masked_bins_per_chr, ref_size=20, row_range=rr, col_tile=128,
+    )
+    idx8, dist8 = knn_search_multidevice(
+        data, ml.chr_of_masked_bin, ml.masked_chr_starts,
+        ml.masked_bins_per_chr, ref_size=20, row_range=rr,
+        devices=jax.devices(), col_tile=128,
+    )
+    np.testing.assert_array_equal(idx1, idx8)
+    np.testing.assert_array_equal(dist1, dist8)

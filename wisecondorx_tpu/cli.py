@@ -184,6 +184,94 @@ def tool_test(args):
     logging.info("Finished prediction")
 
 
+def tool_test_batch(args):
+    """Score a plate of samples against one reference in a single
+    invocation — the batched, data-parallel production path (no reference
+    equivalent; the reference scores one sample per process)."""
+    import os
+
+    import jax
+
+    from wisecondorx_tpu.models.predictor import (
+        PredictConfig,
+        PredictError,
+        segment_bins,
+    )
+    from wisecondorx_tpu.output.tables import generate_output_tables
+    from wisecondorx_tpu.parallel.batch import predict_batch
+    from wisecondorx_tpu.parallel.mesh import sample_mesh
+
+    if not args.bed and not args.plot:
+        logging.critical(
+            "No output format selected. "
+            "Select at least one of the supported output formats "
+            "(--bed, --plot)"
+        )
+        sys.exit(1)
+
+    cfg = PredictConfig(
+        minrefbins=args.minrefbins,
+        maskrepeats=args.maskrepeats,
+        alpha=args.alpha,
+        zscore=args.zscore,
+        beta=args.beta,
+        blacklist=args.blacklist,
+        gender=args.gender,
+        seed=args.seed,
+    )
+    try:
+        cfg.validate()
+    except PredictError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    loaded = []
+    outids = []
+    for infile in args.infiles:
+        sample, binsize, _ = load_sample_npz(infile)
+        loaded.append((sample, binsize))
+        base = os.path.basename(infile)
+        outids.append(
+            os.path.join(args.outdir, base[:-4] if base.endswith(".npz") else base)
+        )
+    passes, meta = load_reference_npz(args.reference)
+
+    devices = jax.devices()
+    mesh = sample_mesh(devices) if len(devices) > 1 else None
+    logging.info(
+        "Batch prediction: %d samples over %d device(s)",
+        len(loaded),
+        len(devices),
+    )
+    try:
+        all_bins = predict_batch(
+            loaded, passes, meta, cfg, mesh=mesh, chunk=args.chunk
+        )
+    except PredictError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+
+    for outid, bins in zip(outids, all_bins):
+        segments = segment_bins(bins, cfg)
+        if args.bed:
+            generate_output_tables(
+                outid, bins, segments, cfg, regions=args.regions
+            )
+        if args.plot:
+            from wisecondorx_tpu.output.plots import write_plots
+
+            write_plots(
+                outid, bins, segments, cfg, ylim=args.ylim,
+                regions=args.regions,
+                plot_title=(
+                    outid.split("/")[-1] if args.add_plot_title else None
+                ),
+            )
+        logging.info("Wrote %s", outid)
+    logging.info("Finished batch prediction")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="WisecondorX-TPU")
     parser.add_argument(
@@ -263,6 +351,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--regions", type=str, default=None)
     p.set_defaults(func=tool_test)
+
+    p = sub.add_parser(
+        "predict-batch",
+        description="Find copy number aberrations for a batch of samples "
+        "in one invocation (data-parallel over all devices)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("reference", type=str)
+    p.add_argument("outdir", type=str, help="Output directory; per-sample "
+                   "outid = <outdir>/<input basename without .npz>")
+    p.add_argument("--infiles", type=str, nargs="+", required=True)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="Samples normalized per device dispatch")
+    p.add_argument("--minrefbins", type=int, default=150)
+    p.add_argument("--maskrepeats", type=int, default=5)
+    p.add_argument("--alpha", type=float, default=1e-4)
+    p.add_argument("--zscore", type=float, default=5)
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--blacklist", type=str, default=None)
+    p.add_argument("--gender", type=str, choices=["F", "M"])
+    p.add_argument("--ylim", type=str, default="def")
+    p.add_argument("--bed", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--cairo", action="store_true")
+    p.add_argument("--add-plot-title", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--regions", type=str, default=None)
+    p.set_defaults(func=tool_test_batch)
 
     return parser
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from wisecondorx_tpu.genome import (
@@ -64,6 +66,11 @@ class NewrefConfig:
     #: Array dtype for the on-device math ("float32" on TPU; tests use
     #: float64 under jax_enable_x64 for reference parity).
     dtype: str = "float64"
+    #: Keep the per-pass matrices device-resident (upload the cohort once,
+    #: download only the final artifacts).  None = auto: on for TPU, off
+    #: for the CPU/f64 parity path, whose numerics must match host numpy
+    #: bit-for-bit.
+    device: bool | None = None
 
 
 def build_reference(
@@ -180,12 +187,25 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
     tl = layout.truncated(last_chr)
     pass_mask = total_mask[: tl.total_bins]  # view — aliasing is intentional
 
-    corrected, components, mean = _normalize_and_pca(matrix, tl, pass_mask, cfg)
+    on_device = cfg.device
+    if on_device is None:
+        on_device = jax.default_backend() == "tpu"
+    # One cohort upload per pass; every downstream matrix stays on device.
+    sub_dev = jnp.asarray(matrix[: tl.total_bins]) if on_device else None
+
+    corrected, components, mean = _normalize_and_pca(
+        matrix, tl, pass_mask, cfg, sub_dev
+    )
 
     # PCA-distance bin filter (reference-fork addition,
     # newref_control.py:38-58): drop bins far from the median profile.
-    med_prof = np.median(corrected, axis=0)
-    dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
+    if on_device:
+        # Stats reduce on device; only the [n_masked] distance vector and
+        # the decision are host-side.
+        dist_to_med = np.asarray(_pca_distance_kernel(corrected))
+    else:
+        med_prof = np.median(corrected, axis=0)
+        dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
     mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
     cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
     bad_bins = dist_to_med > cutoff
@@ -198,7 +218,7 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
         masked_indices = np.where(pass_mask)[0]
         pass_mask[masked_indices[bad_bins]] = False  # mutates total_mask
         corrected, components, mean = _normalize_and_pca(
-            matrix, tl, pass_mask, cfg
+            matrix, tl, pass_mask, cfg, sub_dev
         )
 
     ml = MaskedLayout(tl, pass_mask.copy())
@@ -215,16 +235,35 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
     indexes = np.zeros((n_masked, cfg.refsize), dtype=np.int32)
     distances = np.ones((n_masked, cfg.refsize), dtype=corrected.dtype)
     r0 = 0 if row_range is None else row_range[0]
-    idx, dist = knn_ops.knn_search(
-        corrected,
-        ml.chr_of_masked_bin,
-        ml.masked_chr_starts,
-        ml.masked_bins_per_chr,
-        ref_size=cfg.refsize,
-        row_range=row_range,
-        col_tile=cfg.col_tile,
-        row_tile=cfg.row_tile,
-    )
+    if len(jax.devices()) > 1:
+        # Contiguous row parts across all chips, one host thread per chip —
+        # the functional replacement for the reference's --cpus fan-out
+        # (newref_control.py:90-109).
+        from wisecondorx_tpu.parallel.sharded_knn import (
+            knn_search_multidevice,
+        )
+
+        idx, dist = knn_search_multidevice(
+            corrected,
+            ml.chr_of_masked_bin,
+            ml.masked_chr_starts,
+            ml.masked_bins_per_chr,
+            ref_size=cfg.refsize,
+            row_range=row_range,
+            col_tile=cfg.col_tile,
+            row_tile=cfg.row_tile,
+        )
+    else:
+        idx, dist = knn_ops.knn_search(
+            corrected,
+            ml.chr_of_masked_bin,
+            ml.masked_chr_starts,
+            ml.masked_bins_per_chr,
+            ref_size=cfg.refsize,
+            row_range=row_range,
+            col_tile=cfg.col_tile,
+            row_tile=cfg.row_tile,
+        )
     indexes[r0:] = idx
     distances[r0:] = dist
 
@@ -245,13 +284,38 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
     }
 
 
-def _normalize_and_pca(matrix, tl, pass_mask, cfg):
+def _normalize_and_pca(matrix, tl, pass_mask, cfg, sub_dev=None):
     """Depth-normalize over the pass's chromosome range, mask, PCA-correct.
 
     Matches reference newref_tools.py:110-129 + 138-147: per-sample totals
     are taken over chromosomes 1..last_chr only (not the whole genome).
+
+    With ``sub_dev`` (the device-resident [total_bins, S] counts slice) the
+    normalization, masked gather, and PCA all run on device and the
+    corrected matrix is returned as a device array — no [bins, samples]
+    round-trips over the host link.
     """
+    if sub_dev is not None:
+        keep = jnp.asarray(np.nonzero(pass_mask)[0].astype(np.int32))
+        masked = _normalize_gather_kernel(sub_dev, keep)
+        return pca_ops.train_pca(
+            masked, cfg.pca_components, return_device=True
+        )
     sub = matrix[: tl.total_bins]
     normed = np.asarray(mask_ops.depth_normalize(sub))
     masked = normed[pass_mask]
     return pca_ops.train_pca(masked, cfg.pca_components)
+
+
+@jax.jit
+def _normalize_gather_kernel(sub_dev, keep):
+    """Per-sample depth normalization + masked-row gather, fused on device."""
+    totals = jnp.sum(sub_dev, axis=0)
+    return jnp.take(sub_dev, keep, axis=0) / totals
+
+
+@jax.jit
+def _pca_distance_kernel(corrected):
+    """Squared distance of every bin profile to the median profile."""
+    med_prof = jnp.median(corrected, axis=0)
+    return jnp.sum((corrected - med_prof) ** 2, axis=1)

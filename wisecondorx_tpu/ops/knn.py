@@ -424,35 +424,57 @@ def compute_null_ratios(
     own-chromosome-excluded space but are applied directly to the full
     masked-space sample vector, including the reference's numpy behavior of
     index -1 wrapping to the last bin.
+
+    ``data`` may be numpy or device-resident (jnp); a device array forces
+    the jax backend and skips the cohort re-upload.
     """
-    data = np.asarray(data)
+    if isinstance(data, jnp.ndarray) and backend != "numpy":
+        backend = "jax"
+        sub_dev = jnp.take(
+            data, jnp.asarray(np.asarray(sample_ids, dtype=np.int32)), axis=1
+        )
+        data = None
+    else:
+        sub_dev = None
+        data = np.asarray(data)
     indexes = np.asarray(indexes)
-    n = data.shape[0]
-    sub = data[:, sample_ids]  # [bins, chosen]
+    if sub_dev is not None:
+        n = sub_dev.shape[0]
+        sub = None
+    else:
+        n = data.shape[0]
+        sub = data[:, sample_ids]  # [bins, chosen]
     n_rows, k = indexes.shape
     chosen = len(sample_ids)
-    out = np.empty((n_rows, chosen), dtype=data.dtype)
+    out_dtype = sub.dtype if sub is not None else np.dtype(str(sub_dev.dtype))
+    out = np.empty((n_rows, chosen), dtype=out_dtype)
 
     total_gathered = n_rows * k * max(chosen, 1)
     use_jax = backend == "jax" or (backend == "auto" and total_gathered > 5e7)
 
     if use_jax:
         # Device path: gather + median over the neighbour axis in chunks.
-        sub_j = jnp.asarray(sub)
+        sub_j = sub_dev if sub_dev is not None else jnp.asarray(sub)
         chunk = max(256, int(2**28 // (k * max(chosen, 1) * 4)))
         chunk = -(-chunk // 256) * 256
+        pending = []
         for s in range(0, n_rows, chunk):
             e = min(s + chunk, n_rows)
             idx = (indexes[s:e] % n).astype(np.int32)
-            if e - s < chunk:  # pad to keep a single compiled shape
+            # Own values sliced on device; shapes padded so every chunk
+            # shares one compiled program (pad rows use 1.0 — discarded).
+            own = jax.lax.slice(sub_j, (s, 0), (e, chosen))
+            if e - s < chunk:
                 pad = chunk - (e - s)
                 idx = np.concatenate([idx, np.zeros((pad, k), np.int32)])
-                own = np.concatenate([sub[s:e], np.ones((pad, chosen))])
-            else:
-                own = sub[s:e]
+                own = jnp.pad(
+                    own, ((0, pad), (0, 0)), constant_values=1.0
+                )
             res = _null_ratio_kernel(
-                sub_j, jnp.asarray(idx), jnp.asarray(own, dtype=sub_j.dtype)
+                sub_j, jnp.asarray(idx), own.astype(sub_j.dtype)
             )
+            pending.append((s, e, res))
+        for s, e, res in pending:
             out[s:e] = np.asarray(res)[: e - s]
         return out
 

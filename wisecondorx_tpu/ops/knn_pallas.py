@@ -263,8 +263,18 @@ def knn_search_pallas(
 
     ``_stats`` (optional dict) receives diagnostics: number of
     verification-flagged rows, the scale factor, etc.
+
+    ``data`` may be a numpy array or a device (jnp) array; passing a device
+    array skips the cohort upload entirely — on the tunneled TPU (~46 MB/s
+    host-to-device) that transfer, not compute, dominates the wall-clock.
+    All staging (centering, padding, norms, row slicing) happens on device;
+    the only downloads are the [rows, ref_size] results.
     """
-    data = np.asarray(data)
+    if row_tile > lanes or lanes % row_tile:
+        raise ValueError(
+            f"row_tile ({row_tile}) must divide lanes ({lanes}) so row "
+            "chunks can be sliced from the device-resident candidate matrix"
+        )
     n, s = data.shape
     r0, r1 = row_range if row_range is not None else (0, n)
     n_rows = r1 - r0
@@ -274,27 +284,35 @@ def knn_search_pallas(
             np.zeros((0, ref_size), dtype=np.float32),
         )
 
+    s_pad = _round_up(s, 128)
+    n_pad = _round_up(n, lanes)
+
     # Center (distance-invariant) and rescale so f32 working values are
     # O(1): kills the ||a||^2+||b||^2-2ab cancellation at the ~1e-12
-    # distance scale of depth-normalized profiles.
-    mu = data.mean(axis=0, dtype=np.float64)
-    work = data.astype(np.float64) - mu
-    rms = float(np.sqrt(np.mean(work * work)))
+    # distance scale of depth-normalized profiles.  One tiny readback (the
+    # RMS scalar) — everything else stays on device.
+    data_j = jnp.asarray(data)
+    mu = jnp.mean(data_j, axis=0)
+    work = data_j - mu
+    rms = float(jnp.sqrt(jnp.mean(work * work)))
     if not np.isfinite(rms) or rms == 0.0:
         rms = 1.0
     scale = 1.0 / rms
-    work = (work * scale).astype(np.float32)
     sent_scaled = SENTINEL_DISTANCE * scale * scale
     # Keep the sentinel representable with headroom below f32 inf.
     sent_scaled = min(sent_scaled, 1e30)
 
-    s_pad = _round_up(s, 128)
-    n_pad = _round_up(n, lanes)
-    cand = np.zeros((n_pad, s_pad), dtype=np.float32)
-    cand[:n, :s] = work
+    cand_j = jnp.pad(
+        (work * scale).astype(jnp.float32),
+        ((0, n_pad - n), (0, s_pad - s)),
+    )
+    cnorm_j = jnp.sum(cand_j * cand_j, axis=1).reshape(1, -1)
+
     col_chr = np.full(n_pad, -2, dtype=np.int32)
     col_chr[:n] = chr_of_bin
-    cnorm = (cand.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+    cchr_j = jnp.asarray(col_chr.reshape(1, -1))
+    nvalid_j = jnp.asarray([[n]], dtype=jnp.int32)
+    sent_j = jnp.asarray([[sent_scaled]], dtype=jnp.float32)
 
     starts = np.asarray(masked_chr_starts, dtype=np.int64)
     sizes = np.asarray(masked_bins_per_chr, dtype=np.int64)
@@ -307,12 +325,6 @@ def knn_search_pallas(
         all_chr >= 0, sizes[np.clip(all_chr, 0, len(sizes) - 1)], 0
     ).astype(np.int32)
 
-    cand_j = jnp.asarray(cand)
-    cnorm_j = jnp.asarray(cnorm.reshape(1, -1))
-    cchr_j = jnp.asarray(col_chr.reshape(1, -1))
-    nvalid_j = jnp.asarray([[n]], dtype=jnp.int32)
-    sent_j = jnp.asarray([[sent_scaled]], dtype=jnp.float32)
-
     indexes = np.empty((n_rows, ref_size), dtype=np.int32)
     distances = np.empty((n_rows, ref_size), dtype=np.float32)
     flagged_global: list[np.ndarray] = []
@@ -322,20 +334,24 @@ def knn_search_pallas(
     for cs in range(0, n_rows, row_chunk):
         ce = min(cs + row_chunk, n_rows)
         r_pad = _round_up(ce - cs, row_tile)
-        rows = np.zeros((r_pad, s_pad), dtype=np.float32)
-        rows[: ce - cs] = cand[r0 + cs : r0 + ce]
+        # Target rows are a device-side slice of the candidate matrix
+        # (r0+cs+r_pad <= n_pad because row_tile divides lanes); the tail
+        # rows beyond ce are real candidates whose results are discarded.
+        rows_j = jax.lax.slice(
+            cand_j, (r0 + cs, 0), (r0 + cs + r_pad, s_pad)
+        )
+        rnorm_j = jax.lax.slice(
+            cnorm_j, (0, r0 + cs), (1, r0 + cs + r_pad)
+        ).reshape(-1, 1)
         rchr = np.full((r_pad, 1), -2, dtype=np.int32)
         rchr[: ce - cs, 0] = all_chr[cs:ce]
         rstart = np.zeros((r_pad, 1), dtype=np.int32)
         rstart[: ce - cs, 0] = row_start_all[cs:ce]
         rsize = np.zeros((r_pad, 1), dtype=np.int32)
         rsize[: ce - cs, 0] = row_size_all[cs:ce]
-        rnorm = (rows.astype(np.float64) ** 2).sum(
-            axis=1, keepdims=True
-        ).astype(np.float32)
 
         vals, idx, drop = _bucket_scan(
-            jnp.asarray(rows), jnp.asarray(rnorm), jnp.asarray(rchr),
+            rows_j, rnorm_j, jnp.asarray(rchr),
             jnp.asarray(rstart), jnp.asarray(rsize),
             cand_j, cnorm_j, cchr_j, nvalid_j, sent_j,
             lanes=lanes, depth=depth, row_tile=row_tile,
@@ -368,12 +384,13 @@ def knn_search_pallas(
         for fs in range(0, int(flagged.size), tile):
             rows_f = flagged[fs : fs + tile]
             pad_n = tile - rows_f.size
-            frows = np.concatenate(
-                [cand[r0 + rows_f], np.zeros((pad_n, s_pad), np.float32)]
-            )
-            fnorm = (frows.astype(np.float64) ** 2).sum(axis=1).astype(
-                np.float32
-            )
+            # Device gather of the flagged rows (index upload only).
+            gidx = np.concatenate(
+                [r0 + rows_f, np.zeros(pad_n, np.int64)]
+            ).astype(np.int32)
+            gidx_j = jnp.asarray(gidx)
+            frows_j = jnp.take(cand_j, gidx_j, axis=0)
+            fnorm_j = jnp.take(cnorm_j[0], gidx_j)
             fchr = np.concatenate(
                 [all_chr[rows_f], np.full(pad_n, -2, np.int32)]
             )
@@ -384,7 +401,7 @@ def knn_search_pallas(
                 [row_size_all[rows_f], np.zeros(pad_n, np.int32)]
             )
             fvals, fidx = _exact_rows(
-                jnp.asarray(frows), jnp.asarray(fnorm), jnp.asarray(fchr),
+                frows_j, fnorm_j, jnp.asarray(fchr),
                 jnp.asarray(fstart), jnp.asarray(fsize),
                 cand_j, cnorm_j[0], cchr_j[0],
                 jnp.int32(n), jnp.float32(sent_scaled),

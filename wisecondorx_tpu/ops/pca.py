@@ -55,7 +55,9 @@ def _correct_kernel(data_bs, mean, u):
     return corrected.T, components
 
 
-def train_pca(data_bs: np.ndarray, n_components: int = 5):
+def train_pca(
+    data_bs: np.ndarray, n_components: int = 5, return_device: bool = False
+):
     """Fit PCA on [bins, samples] data; divide out the rank-k reconstruction.
 
     The S x S Gram matrix and the correction are device matmuls; the tiny
@@ -63,15 +65,23 @@ def train_pca(data_bs: np.ndarray, n_components: int = 5):
     pathologically slow-to-compile program on the axon TPU path, and the
     matrix is only samples x samples).
 
+    ``data_bs`` may be numpy or an already-device-resident jnp array; with
+    ``return_device=True`` the corrected matrix is returned as a device
+    array (skipping a [bins, samples] download + re-upload on the
+    bandwidth-starved tunnel) — components/mean are small and always numpy.
+
     Returns (pca_corrected [bins, samples], components [k, bins], mean [bins]).
     """
     data_j = jnp.asarray(data_bs)
     gram, mean = _gram_kernel(data_j)
     _, eigvecs = np.linalg.eigh(np.asarray(gram))  # ascending
     u = jnp.asarray(
-        np.ascontiguousarray(eigvecs[:, ::-1][:, :n_components])
+        np.ascontiguousarray(eigvecs[:, ::-1][:, :n_components]),
+        dtype=data_j.dtype,
     )
     corrected, components = _correct_kernel(data_j, mean, u)
+    if return_device:
+        return corrected, np.asarray(components), np.asarray(mean)
     return np.asarray(corrected), np.asarray(components), np.asarray(mean)
 
 

@@ -1,20 +1,89 @@
 """Multi-chip KNN reference search.
 
-Target rows are sharded over the mesh's "bins" axis; the candidate matrix
-is replicated (SURVEY.md section 7 step 6: each chip owns disjoint target
-rows and scans all column blocks, so no cross-chip merge is needed and no
-collective appears in the hot loop).  XLA's GSPMD partitioner derives the
-per-chip program from the sharding annotations on the jitted kernel.
+Two strategies, both with zero cross-chip communication in the hot loop
+(each chip owns disjoint target rows and scans a replicated candidate
+matrix — SURVEY.md section 7 step 6, replacing the reference's thread
+fan-out over contiguous bin ranges, newref_control.py:90-109):
+
+* :func:`knn_search_multidevice` — explicit placement: the target-row
+  range splits into contiguous per-device parts, and one host thread per
+  device drives the full single-device search (the fused Pallas kernel on
+  TPU) with that device as its default.  This is the production path used
+  by ``newref``.
+* :func:`knn_search_sharded` — GSPMD: the row axis is sharded over a
+  ``Mesh`` and XLA partitions the jitted XLA kernel from the sharding
+  annotations alone.  Used by the mesh-jit dry run.
 """
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from wisecondorx_tpu.ops.knn import _knn_kernel, _pad_cols
+from wisecondorx_tpu.ops.knn import _knn_kernel, _pad_cols, knn_search
+
+
+def knn_search_multidevice(
+    data,
+    chr_of_bin,
+    masked_chr_starts,
+    masked_bins_per_chr,
+    ref_size: int = 300,
+    row_range: tuple[int, int] | None = None,
+    devices=None,
+    merge_method: str | None = None,
+    **kw,
+):
+    """Row-partitioned KNN across all local devices.
+
+    Results are identical to the single-device search: rows are
+    independent, each part runs the same kernel, and parts are contiguous
+    (tie order within a row is unaffected by the split).  Falls back to
+    the single-device path when only one device exists or the row count
+    is too small to split.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = data.shape[0]
+    r0, r1 = row_range if row_range is not None else (0, n)
+    n_rows = r1 - r0
+
+    def run(dev, part_range, part_data):
+        with jax.default_device(dev):
+            return knn_search(
+                part_data,
+                chr_of_bin,
+                masked_chr_starts,
+                masked_bins_per_chr,
+                ref_size=ref_size,
+                row_range=part_range,
+                merge_method=merge_method,
+                **kw,
+            )
+
+    if len(devices) <= 1 or n_rows < 4 * len(devices):
+        return run(devices[0], (r0, r1), data)
+
+    # A committed device array would pin every part to its device; fan out
+    # from host memory so each worker's jnp.asarray lands on its own device.
+    host_data = np.asarray(data)
+    bounds = np.linspace(r0, r1, len(devices) + 1).astype(int)
+    # One host thread per device: jax dispatch is thread-safe and each
+    # thread blocks on its own device's downloads, so devices run
+    # concurrently (the reference's ThreadPoolExecutor fan-out, with chips
+    # in place of cores).
+    with ThreadPoolExecutor(max_workers=len(devices)) as pool:
+        futs = [
+            pool.submit(run, dev, (int(a), int(b)), host_data)
+            for dev, a, b in zip(devices, bounds[:-1], bounds[1:])
+        ]
+        parts = [f.result() for f in futs]
+    idx = np.concatenate([p[0] for p in parts])
+    dist = np.concatenate([p[1] for p in parts])
+    return idx, dist
 
 
 def knn_search_sharded(
