@@ -88,6 +88,7 @@ def tool_newref(args):
         nipt=args.nipt,
         yfrac=args.yfrac,
         seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
     )
     try:
         passes, meta = build_reference(samples, cfg)
@@ -317,6 +318,12 @@ def build_parser() -> argparse.ArgumentParser:
         "accelerator and ignores this",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--checkpoint-dir", type=str, default=None,
+        help="Directory for crash-recovery artifacts; a killed build "
+        "re-run with the same inputs resumes after the last completed "
+        "stage (removed on success)",
+    )
     p.set_defaults(func=tool_newref)
 
     p = sub.add_parser(

@@ -42,6 +42,7 @@ from wisecondorx_tpu.ops import knn as knn_ops
 from wisecondorx_tpu.ops import mask as mask_ops
 from wisecondorx_tpu.ops import pca as pca_ops
 from wisecondorx_tpu.ops.gmm import train_gender_model
+from wisecondorx_tpu.utils.checkpoint import NewrefCheckpoint, fingerprint
 from wisecondorx_tpu.utils.log import stage_timer
 
 
@@ -71,6 +72,12 @@ class NewrefConfig:
     #: for the CPU/f64 parity path, whose numerics must match host numpy
     #: bit-for-bit.
     device: bool | None = None
+    #: Directory for crash-recovery artifacts (None = off).  A killed build
+    #: re-run with the same inputs + directory resumes after the last
+    #: completed stage; see utils/checkpoint.py.
+    checkpoint_dir: str | None = None
+    #: KNN rows per checkpoint artifact when checkpointing is on.
+    knn_checkpoint_rows: int = 32768
 
 
 def build_reference(
@@ -90,9 +97,17 @@ def build_reference(
     Returns (passes dict for :func:`save_reference_npz`, meta dict).
     """
     cfg = config
-    rng = np.random.default_rng(cfg.seed)
     if _null_chooser is None:
-        _null_chooser = lambda gender, n: knn_ops.choose_null_samples(n, rng)  # noqa: E731
+        # Per-pass RNG derived from (seed, pass): the draw for pass X is
+        # the same whether earlier passes computed or restored from a
+        # checkpoint (a shared sequential stream would shift on resume).
+        def _null_chooser(gender, n):
+            g_rng = (
+                np.random.default_rng()
+                if cfg.seed is None
+                else np.random.default_rng([cfg.seed, ord(gender)])
+            )
+            return knn_ops.choose_null_samples(n, g_rng)
 
     if cfg.yfrac is not None and not (0 <= cfg.yfrac <= 1):
         raise NewrefError(
@@ -162,11 +177,33 @@ def build_reference(
                 "male gonosomes."
             )
 
+    ckpt = NewrefCheckpoint(
+        cfg.checkpoint_dir,
+        fingerprint(matrix, cfg) if cfg.checkpoint_dir else None,
+    )
+
     for gender, cols in plan:
+        saved = ckpt.load(f"pass_{gender}")
+        if saved is not None:
+            logging.info("Pass %s restored from checkpoint", gender)
+            # The PCA-distance filter mutated the shared mask during this
+            # pass; replay that mutation for the later passes.
+            total_mask[: len(saved["total_mask_after"])] &= saved[
+                "total_mask_after"
+            ]
+            passes[gender] = {k: saved[k] for k in _PASS_KEYS}
+            passes[gender]["binsize"] = int(saved["binsize"])
+            continue
         with stage_timer(f"newref.pass_{gender}"):
             passes[gender] = _build_pass(
-                gender, matrix[:, cols], layout, total_mask, cfg, _null_chooser
+                gender, matrix[:, cols], layout, total_mask, cfg,
+                _null_chooser, ckpt=ckpt,
             )
+        ckpt.save(
+            f"pass_{gender}",
+            total_mask_after=total_mask[: _truncated_len(layout, gender)],
+            **passes[gender],
+        )
 
     meta = {
         "is_nipt": nipt,
@@ -174,15 +211,31 @@ def build_reference(
         "has_female": "F" in passes,
         "has_male": "M" in passes,
     }
+    ckpt.done()
     return passes, meta
 
 
-def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
+#: Keys of a finished pass dict (checkpoint round-trip).
+_PASS_KEYS = (
+    "binsize", "mask", "bins_per_chr", "masked_bins_per_chr",
+    "masked_bins_per_chr_cum", "pca_components", "pca_mean",
+    "indexes", "distances", "null_ratios",
+)
+
+
+def _truncated_len(layout, gender):
+    return layout.truncated(LAST_CHR[gender]).total_bins
+
+
+def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
+                ckpt=None):
     """One reference pass (reference newref_control.py:24-80 + KNN stage).
 
     ``total_mask`` is mutated in place by the PCA-distance filter — the
     slice below aliases it exactly like the reference's mask view.
     """
+    if ckpt is None:
+        ckpt = NewrefCheckpoint(None)
     last_chr = LAST_CHR[gender]
     tl = layout.truncated(last_chr)
     pass_mask = total_mask[: tl.total_bins]  # view — aliasing is intentional
@@ -190,35 +243,53 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
     on_device = cfg.device
     if on_device is None:
         on_device = jax.default_backend() == "tpu"
-    # One cohort upload per pass; every downstream matrix stays on device.
-    sub_dev = jnp.asarray(matrix[: tl.total_bins]) if on_device else None
 
-    corrected, components, mean = _normalize_and_pca(
-        matrix, tl, pass_mask, cfg, sub_dev
-    )
-
-    # PCA-distance bin filter (reference-fork addition,
-    # newref_control.py:38-58): drop bins far from the median profile.
-    if on_device:
-        # Stats reduce on device; only the [n_masked] distance vector and
-        # the decision are host-side.
-        dist_to_med = np.asarray(_pca_distance_kernel(corrected))
+    prep = ckpt.load(f"prep_{gender}")
+    if prep is not None:
+        logging.info("Pass %s: PCA restored from checkpoint", gender)
+        pass_mask &= prep["mask_after"]  # replay the filter's mutation
+        corrected = prep["corrected"]
+        components, mean = prep["components"], prep["mean"]
+        if on_device:
+            corrected = jnp.asarray(corrected)
     else:
-        med_prof = np.median(corrected, axis=0)
-        dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
-    mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
-    cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
-    bad_bins = dist_to_med > cutoff
-    if np.any(bad_bins):
-        logging.info(
-            "Removing %d anomalous bins based on PCA distance (cutoff=%.4f)",
-            int(bad_bins.sum()),
-            cutoff,
-        )
-        masked_indices = np.where(pass_mask)[0]
-        pass_mask[masked_indices[bad_bins]] = False  # mutates total_mask
+        # One cohort upload per pass; downstream matrices stay on device.
+        sub_dev = jnp.asarray(matrix[: tl.total_bins]) if on_device else None
+
         corrected, components, mean = _normalize_and_pca(
             matrix, tl, pass_mask, cfg, sub_dev
+        )
+
+        # PCA-distance bin filter (reference-fork addition,
+        # newref_control.py:38-58): drop bins far from the median profile.
+        if on_device:
+            # Stats reduce on device; only the [n_masked] distance vector
+            # and the decision are host-side.
+            dist_to_med = np.asarray(_pca_distance_kernel(corrected))
+        else:
+            med_prof = np.median(corrected, axis=0)
+            dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
+        mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
+        cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
+        bad_bins = dist_to_med > cutoff
+        if np.any(bad_bins):
+            logging.info(
+                "Removing %d anomalous bins based on PCA distance "
+                "(cutoff=%.4f)",
+                int(bad_bins.sum()),
+                cutoff,
+            )
+            masked_indices = np.where(pass_mask)[0]
+            pass_mask[masked_indices[bad_bins]] = False  # mutates total_mask
+            corrected, components, mean = _normalize_and_pca(
+                matrix, tl, pass_mask, cfg, sub_dev
+            )
+        ckpt.save(
+            f"prep_{gender}",
+            corrected=np.asarray(corrected),
+            components=components,
+            mean=mean,
+            mask_after=pass_mask,
         )
 
     ml = MaskedLayout(tl, pass_mask.copy())
@@ -235,6 +306,7 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
     indexes = np.zeros((n_masked, cfg.refsize), dtype=np.int32)
     distances = np.ones((n_masked, cfg.refsize), dtype=corrected.dtype)
     r0 = 0 if row_range is None else row_range[0]
+
     if len(jax.devices()) > 1:
         # Contiguous row parts across all chips, one host thread per chip —
         # the functional replacement for the reference's --cpus fan-out
@@ -243,29 +315,49 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser):
             knn_search_multidevice,
         )
 
-        idx, dist = knn_search_multidevice(
-            corrected,
-            ml.chr_of_masked_bin,
-            ml.masked_chr_starts,
-            ml.masked_bins_per_chr,
-            ref_size=cfg.refsize,
-            row_range=row_range,
-            col_tile=cfg.col_tile,
-            row_tile=cfg.row_tile,
-        )
+        def search(rr):
+            return knn_search_multidevice(
+                corrected,
+                ml.chr_of_masked_bin,
+                ml.masked_chr_starts,
+                ml.masked_bins_per_chr,
+                ref_size=cfg.refsize,
+                row_range=rr,
+                col_tile=cfg.col_tile,
+                row_tile=cfg.row_tile,
+            )
     else:
-        idx, dist = knn_ops.knn_search(
-            corrected,
-            ml.chr_of_masked_bin,
-            ml.masked_chr_starts,
-            ml.masked_bins_per_chr,
-            ref_size=cfg.refsize,
-            row_range=row_range,
-            col_tile=cfg.col_tile,
-            row_tile=cfg.row_tile,
-        )
-    indexes[r0:] = idx
-    distances[r0:] = dist
+        def search(rr):
+            return knn_ops.knn_search(
+                corrected,
+                ml.chr_of_masked_bin,
+                ml.masked_chr_starts,
+                ml.masked_bins_per_chr,
+                ref_size=cfg.refsize,
+                row_range=rr,
+                col_tile=cfg.col_tile,
+                row_tile=cfg.row_tile,
+            )
+
+    if ckpt.enabled:
+        # Row-chunked search with one artifact per chunk: a killed build
+        # loses at most knn_checkpoint_rows rows of search (the analogue of
+        # the reference's per-part npz files, newref_control.py:93-106).
+        step = max(1024, cfg.knn_checkpoint_rows)
+        for a in range(r0, n_masked, step):
+            b = min(a + step, n_masked)
+            part = ckpt.load(f"knn_{gender}_{a}_{b}")
+            if part is None:
+                idx, dist = search((a, b))
+                ckpt.save(f"knn_{gender}_{a}_{b}", idx=idx, dist=dist)
+            else:
+                idx, dist = part["idx"], part["dist"]
+            indexes[a:b] = idx
+            distances[a:b] = dist
+    else:
+        idx, dist = search((r0, n_masked) if row_range else None)
+        indexes[r0:] = idx
+        distances[r0:] = dist
 
     chosen = np.asarray(null_chooser(gender, corrected.shape[1]))
     null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)

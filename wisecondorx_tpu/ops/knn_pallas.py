@@ -191,17 +191,75 @@ def _bucket_scan(rows, rnorm, rchr, rstart, rsize,
     return vals, idx, drop
 
 
-@functools.partial(jax.jit, static_argnames=("ref_size",))
-def _finalize(vals, idx, drop, *, ref_size: int):
+def _extract_topk_kernel(vals_ref, idx_ref, out_v_ref, out_i_ref,
+                         *, ref_size: int):
+    """Sequential min-extraction top-k over the bucketed candidate pool.
+
+    Replaces ``jax.lax.approx_max_k`` on the [rows, lanes*depth] pool —
+    whose TPU lowering takes ~44 s to compile at production shapes through
+    the axon remote-compile path — with a simple VPU loop that compiles in
+    seconds and runs in milliseconds per tile.
+    """
+    rt, p = vals_ref.shape
+    gi = jax.lax.broadcasted_iota(jnp.int32, (rt, p), 1)
+    big = jnp.int32(2**30)
+
+    def body(i, cur):
+        v = jnp.min(cur, axis=1, keepdims=True)  # [RT, 1]
+        hit = cur == v
+        sel = jnp.min(jnp.where(hit, gi, big), axis=1, keepdims=True)
+        chosen = gi == sel  # exactly one lane per row
+        out_v_ref[:, pl.ds(i, 1)] = v
+        # One lane survives the mask; min-reduce extracts its index value
+        # (works for the -1 sentinel too).
+        out_i_ref[:, pl.ds(i, 1)] = jnp.min(
+            jnp.where(chosen, idx_ref[:], big), axis=1, keepdims=True
+        )
+        return jnp.where(chosen, jnp.inf, cur)
+
+    jax.lax.fori_loop(0, ref_size, body, vals_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_size", "row_tile", "interpret")
+)
+def _finalize(vals, idx, drop, *, ref_size: int, row_tile: int = 256,
+              interpret: bool = False):
     """Exact top-k over the candidate pool + per-row exactness certificate.
 
     flagged[r] is True when a bucket of row r may have dropped a true
     top-k member: the smallest value ever dropped is <= the worst kept
     distance (ties included, to stay conservative).
     """
-    neg_top, arg = jax.lax.approx_max_k(-vals, ref_size, recall_target=1.0)
-    top_vals = -neg_top
-    top_idx = jnp.take_along_axis(idx, arg, axis=1)
+    r_pad, p = vals.shape
+    row_tile = min(row_tile, r_pad)
+    grid = (r_pad // row_tile,)
+    top_vals, top_idx = pl.pallas_call(
+        functools.partial(_extract_topk_kernel, ref_size=ref_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((row_tile, ref_size), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, ref_size), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, ref_size), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, ref_size), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                3 * row_tile * p * 4 + 4 * row_tile * ref_size * 4 + 2**21
+            ),
+        ),
+        interpret=interpret,
+    )(vals, idx)
     finite = jnp.isfinite(top_vals)
     tau = jnp.max(jnp.where(finite, top_vals, -jnp.inf), axis=1)
     min_drop = jnp.min(drop, axis=1)
@@ -357,14 +415,29 @@ def knn_search_pallas(
             lanes=lanes, depth=depth, row_tile=row_tile,
             interpret=interpret,
         )
-        top_vals, top_idx, flg = _finalize(vals, idx, drop, ref_size=ref_size)
+        top_vals, top_idx, flg = _finalize(
+            vals, idx, drop, ref_size=ref_size, row_tile=row_tile,
+            interpret=interpret,
+        )
         # Async dispatch: results fetched after all chunks are queued.
         pending.append((cs, ce, top_vals, top_idx, flg))
 
-    for cs, ce, top_vals, top_idx, flg in pending:
-        tv = np.asarray(top_vals)[: ce - cs]
-        ti = np.asarray(top_idx)[: ce - cs]
-        fl = np.asarray(flg)[: ce - cs]
+    # The tunneled d2h link is single-stream slow but multiplexes well
+    # (~30 MB/s per stream, ~70 MB/s with 4); fetch all chunk results
+    # over parallel streams.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        fetched = list(
+            pool.map(
+                lambda a: np.asarray(a),
+                [x for _, _, tv, ti, fl in pending for x in (tv, ti, fl)],
+            )
+        )
+    for k, (cs, ce, _, _, _) in enumerate(pending):
+        tv = fetched[3 * k][: ce - cs]
+        ti = fetched[3 * k + 1][: ce - cs]
+        fl = fetched[3 * k + 2][: ce - cs]
         unfilled = ~np.isfinite(tv)
         distances[cs:ce] = np.where(unfilled, SENTINEL_DISTANCE, tv)
         indexes[cs:ce] = np.where(unfilled, -1, ti)
