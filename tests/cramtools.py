@@ -1,0 +1,479 @@
+"""Minimal CRAM 3.0 writer for testing the native reader.
+
+Emits structurally valid CRAM 3.0: file definition, SAM-header container,
+data containers with compression header + slices, and an EOF container.
+Data series use EXTERNAL/HUFFMAN/BETA encodings; blocks can be stored raw,
+gzip, or rANS-4x8 (order 0/1 — encoder implemented here, mirroring the
+spec/htslib byte format that native/cramreader.cpp decodes).
+"""
+
+import struct
+import zlib
+
+
+# ---------------------------------------------------------------- varints
+
+def itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes(
+            [0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+        )
+    return bytes(
+        [
+            0xF0 | (v >> 28),
+            (v >> 20) & 0xFF,
+            (v >> 12) & 0xFF,
+            (v >> 4) & 0xFF,
+            v & 0x0F,
+        ]
+    )
+
+
+def ltf8(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    # larger values unused by the fixtures
+    out = bytes([0xFF]) + v.to_bytes(8, "big")
+    return out
+
+
+# ---------------------------------------------------------------- rANS 4x8
+
+RANS_LOW = 1 << 23
+TOT = 1 << 12
+
+
+def _norm_freqs(counts):
+    total = sum(counts.values())
+    freqs = {}
+    acc = 0
+    items = sorted(counts.items())
+    for i, (s, c) in enumerate(items):
+        f = max(1, round(c * TOT / total))
+        freqs[s] = f
+        acc += f
+    # fix to exactly TOT on the most frequent symbol
+    top = max(freqs, key=lambda s: freqs[s])
+    freqs[top] += TOT - acc
+    assert freqs[top] > 0
+    return freqs
+
+
+def _freq_bytes(f: int) -> bytes:
+    if f < 0x80:
+        return bytes([f])
+    return bytes([0x80 | (f >> 8), f & 0xFF])
+
+
+def _write_freq_table(freqs) -> bytes:
+    """RLE symbol table (ascending symbols; run-of-consecutive shortcut)."""
+    syms = sorted(freqs)
+    out = bytearray()
+    i = 0
+    while i < len(syms):
+        s = syms[i]
+        run = 0
+        while i + 1 + run < len(syms) and syms[i + 1 + run] == s + 1 + run:
+            run += 1
+        out.append(s)
+        out += _freq_bytes(freqs[s])
+        if run > 0:
+            out.append(s + 1)
+            out.append(run - 1)
+            for k in range(run):
+                out += _freq_bytes(freqs[syms[i + 1 + k]])
+        i += 1 + run
+    out.append(0)
+    return bytes(out)
+
+
+def _cum(freqs):
+    c = {}
+    acc = 0
+    for s in sorted(freqs):
+        c[s] = acc
+        acc += freqs[s]
+    return c
+
+
+def rans0_compress(data: bytes) -> bytes:
+    if len(data) == 0:
+        body = _write_freq_table({0: TOT}) + b"".join(
+            struct.pack("<I", RANS_LOW) for _ in range(4)
+        )
+        return bytes([0]) + struct.pack("<II", len(body), 0) + body
+    counts = {}
+    for b in data:
+        counts[b] = counts.get(b, 0) + 1
+    F = _norm_freqs(counts)
+    C = _cum(F)
+    states = [RANS_LOW] * 4
+    emitted = bytearray()
+    for i in reversed(range(len(data))):
+        s = data[i]
+        j = i & 3
+        x = states[j]
+        x_max = (1 << 19) * F[s]
+        while x >= x_max:
+            emitted.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // F[s]) << 12) + (x % F[s]) + C[s]
+    body = (
+        _write_freq_table(F)
+        + b"".join(struct.pack("<I", states[j]) for j in range(4))
+        + bytes(reversed(emitted))
+    )
+    return bytes([0]) + struct.pack("<II", len(body), len(data)) + body
+
+
+def rans1_compress(data: bytes) -> bytes:
+    n = len(data)
+    if n < 8:
+        return rans0_compress(data)  # order-1 quarters need data
+    q = n >> 2
+    # Transition counts; each quarter starts from context 0, the tail is
+    # contiguous with quarter 3.
+    counts = {}
+
+    def bump(ctx, sym):
+        counts.setdefault(ctx, {})
+        counts[ctx][sym] = counts[ctx].get(sym, 0) + 1
+
+    segs = [
+        (0, q),
+        (q, 2 * q),
+        (2 * q, 3 * q),
+        (3 * q, n),  # includes the tail
+    ]
+    for a, b in segs:
+        bump(0, data[a])
+        for p in range(a + 1, b):
+            bump(data[p - 1], data[p])
+    F = {ctx: _norm_freqs(c) for ctx, c in counts.items()}
+    C = {ctx: _cum(f) for ctx, f in F.items()}
+
+    states = [RANS_LOW] * 4
+    emitted = bytearray()
+
+    def enc(j, ctx, sym):
+        x = states[j]
+        f = F[ctx][sym]
+        x_max = (1 << 19) * f
+        while x >= x_max:
+            emitted.append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << 12) + (x % f) + C[ctx][sym]
+
+    # Reverse of the decoder: tail (state 3) first, then the main loop
+    # from the last row up, states 3..0 within a row.
+    for p in reversed(range(4 * q, n)):
+        enc(3, data[p - 1], data[p])
+    for i in reversed(range(q)):
+        for j in (3, 2, 1, 0):
+            p = j * q + i
+            ctx = 0 if i == 0 else data[p - 1]
+            enc(j, ctx, data[p])
+
+    table = bytearray()
+    ctxs = sorted(F)
+    i = 0
+    while i < len(ctxs):
+        s = ctxs[i]
+        run = 0
+        while i + 1 + run < len(ctxs) and ctxs[i + 1 + run] == s + 1 + run:
+            run += 1
+        table.append(s)
+        table += _write_freq_table(F[s])
+        if run > 0:
+            table.append(s + 1)
+            table.append(run - 1)
+            for k in range(run):
+                table += _write_freq_table(F[ctxs[i + 1 + k]])
+        i += 1 + run
+    table.append(0)
+
+    body = (
+        bytes(table)
+        + b"".join(struct.pack("<I", states[j]) for j in range(4))
+        + bytes(reversed(emitted))
+    )
+    return bytes([1]) + struct.pack("<II", len(body), n) + body
+
+
+# ---------------------------------------------------------------- blocks
+
+METHOD = {"raw": 0, "gzip": 1, "rans0": 4, "rans1": 4}
+
+
+def compress(data: bytes, method: str) -> bytes:
+    if method == "raw":
+        return data
+    if method == "gzip":
+        return zlib.compress(data, 6, wbits=31)
+    if method == "rans0":
+        return rans0_compress(data)
+    if method == "rans1":
+        return rans1_compress(data)
+    raise ValueError(method)
+
+
+def block(content_type: int, content_id: int, data: bytes,
+          method: str = "raw") -> bytes:
+    payload = compress(data, method)
+    out = bytes([METHOD[method], content_type])
+    out += itf8(content_id) + itf8(len(payload)) + itf8(len(data))
+    out += payload
+    out += struct.pack("<I", zlib.crc32(payload))
+    return out
+
+
+def container(blocks: list, ref_seq_id=0, start=0, span=0, n_records=0,
+              record_counter=0, bases=0) -> bytes:
+    body = b"".join(blocks)
+    hdr = struct.pack("<i", len(body))
+    hdr += itf8(ref_seq_id) + itf8(start) + itf8(span) + itf8(n_records)
+    hdr += ltf8(record_counter) + ltf8(bases)
+    hdr += itf8(len(blocks))
+    hdr += itf8(len(blocks))  # landmark count
+    for _ in blocks:
+        hdr += itf8(0)  # landmark offsets (unused by the reader)
+    hdr += struct.pack("<I", 0)  # header crc (unchecked)
+    return hdr + body
+
+
+# ---------------------------------------------------------------- encodings
+
+def enc_external(content_id: int) -> bytes:
+    params = itf8(content_id)
+    return itf8(1) + itf8(len(params)) + params
+
+
+def enc_huffman(alphabet, lengths) -> bytes:
+    params = itf8(len(alphabet))
+    for a in alphabet:
+        params += itf8(a)
+    params += itf8(len(lengths))
+    for l in lengths:  # noqa: E741
+        params += itf8(l)
+    return itf8(3) + itf8(len(params)) + params
+
+
+def enc_beta(offset, nbits) -> bytes:
+    params = itf8(offset) + itf8(nbits)
+    return itf8(6) + itf8(len(params)) + params
+
+
+def compression_header(series: dict, ap_delta: bool) -> bytes:
+    """series: {'BF': encoding bytes, ...}
+
+    Layout per spec: each of the three maps is (byte size, entry count,
+    entries...)."""
+    pres_entries = b"RN" + bytes([1]) + b"AP" + bytes(
+        [1 if ap_delta else 0]
+    ) + b"TD" + itf8(1) + b"\x00"
+    pres_map = itf8(len(pres_entries) + len(itf8(3))) + itf8(3) + pres_entries
+
+    ds_entries = b""
+    for key, enc in series.items():
+        ds_entries += key.encode() + enc
+    ds_map = (
+        itf8(len(ds_entries) + len(itf8(len(series))))
+        + itf8(len(series))
+        + ds_entries
+    )
+
+    tag_map = itf8(len(itf8(0))) + itf8(0)
+    return pres_map + ds_map + tag_map
+
+
+# ---------------------------------------------------------------- huffman
+
+def canonical_codes(alphabet, lengths):
+    order = sorted(range(len(alphabet)), key=lambda i: lengths[i])
+    codes = [0] * len(alphabet)
+    code = 0
+    prev = lengths[order[0]]
+    for k, i in enumerate(order):
+        code <<= lengths[i] - prev
+        codes[i] = code
+        prev = lengths[i]
+        code += 1
+    return codes
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, nbits):
+        for b in range(nbits - 1, -1, -1):
+            self.bits.append((value >> b) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            chunk = self.bits[i : i + 8]
+            for b in chunk:
+                byte = (byte << 1) | b
+            byte <<= 8 - len(chunk)
+            out.append(byte)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------- writer
+
+def write_cram(
+    path,
+    refs,
+    slices,
+    *,
+    method="raw",
+    ap_delta=True,
+    bf_huffman=False,
+    mq_beta=False,
+):
+    """Write a CRAM 3.0 file.
+
+    refs: list of (name, length).
+    slices: list of slices; each slice is a dict with
+        'ref_id': int (-2 for multi-ref),
+        'records': list of dicts with keys flag, pos (0-based), mapq,
+            and one of: {} (no mate), {'pnext': int} (detached mate),
+            {'nf': int} (mate nf records downstream).
+    Every slice goes into its own container.
+    """
+    out = bytearray()
+    out += b"CRAM" + bytes([3, 0]) + b"\x00" * 20
+
+    sam = "@HD\tVN:1.6\n"
+    for name, length in refs:
+        sam += f"@SQ\tSN:{name}\tLN:{length}\n"
+    sam_b = sam.encode()
+    hdr_payload = struct.pack("<i", len(sam_b)) + sam_b
+    out += container([block(0, 0, hdr_payload, "raw")])
+
+    for sl in slices:
+        recs = sl["records"]
+        multiref = sl["ref_id"] == -2
+        streams = {k: bytearray() for k in
+                   ("BF", "CF", "AP", "MQ", "NF", "NP", "RI", "RL")}
+        core = BitWriter()
+
+        bf_alpha = sorted({r["flag"] for r in recs}) or [0]
+        if bf_huffman:
+            if len(bf_alpha) == 1:
+                bf_lengths = [0]
+            else:
+                # flat code lengths (ceil log2 n, adjusted to be a valid
+                # canonical set)
+                import math
+
+                n = len(bf_alpha)
+                L = math.ceil(math.log2(n))
+                # use lengths L except give the first 2^L - n symbols L-1
+                short = (1 << L) - n
+                bf_lengths = [L - 1] * short + [L] * (n - short)
+            bf_codes = canonical_codes(bf_alpha, bf_lengths)
+
+        start_pos = min((r["pos"] for r in recs), default=0) + 1
+        last_ap = start_pos
+        for r in recs:
+            flag, pos1 = r["flag"], r["pos"] + 1
+            if bf_huffman:
+                i = bf_alpha.index(flag)
+                if bf_lengths[i]:
+                    core.write(bf_codes[i], bf_lengths[i])
+            else:
+                streams["BF"] += itf8(flag)
+            cf = 0
+            if "pnext" in r:
+                cf |= 0x2
+            elif "nf" in r:
+                cf |= 0x4
+            streams["CF"] += itf8(cf)
+            if multiref:
+                streams["RI"] += itf8(r["ref_id"])
+            if ap_delta:
+                streams["AP"] += itf8(pos1 - last_ap)
+                last_ap = pos1
+            else:
+                streams["AP"] += itf8(pos1)
+            streams["RL"] += itf8(36)  # decoy series the reader must skip
+            if "pnext" in r:
+                streams["NP"] += itf8(r["pnext"] + 1)
+            if "nf" in r:
+                streams["NF"] += itf8(r["nf"])
+            if not (flag & 0x4):
+                if mq_beta:
+                    core.write(r.get("mapq", 0), 8)
+                else:
+                    streams["MQ"] += itf8(r.get("mapq", 0))
+
+        ids = {"BF": 1, "CF": 2, "AP": 3, "MQ": 4, "NF": 5, "NP": 6,
+               "RI": 7, "RL": 8}
+        series = {}
+        if bf_huffman:
+            series["BF"] = enc_huffman(bf_alpha, bf_lengths)
+        else:
+            series["BF"] = enc_external(ids["BF"])
+        series["CF"] = enc_external(ids["CF"])
+        series["AP"] = enc_external(ids["AP"])
+        series["MQ"] = (
+            enc_beta(0, 8) if mq_beta else enc_external(ids["MQ"])
+        )
+        series["NF"] = enc_external(ids["NF"])
+        series["NP"] = enc_external(ids["NP"])
+        series["RL"] = enc_external(ids["RL"])
+        if multiref:
+            series["RI"] = enc_external(ids["RI"])
+
+        ch_block = block(1, 0, compression_header(series, ap_delta), method)
+
+        slice_hdr = itf8(sl["ref_id"] & 0xFFFFFFFF)
+        slice_hdr += itf8(start_pos) + itf8(10**6) + itf8(len(recs))
+        slice_hdr += ltf8(0)
+        data_blocks = [block(5, 0, core.bytes(), method)]  # core first
+        for key, cid in ids.items():
+            if key == "RI" and not multiref:
+                continue
+            data_blocks.append(block(4, cid, bytes(streams[key]), method))
+        slice_hdr += itf8(len(data_blocks))
+        slice_hdr += itf8(len(data_blocks))  # content-id array length
+        for key, cid in ids.items():
+            if key == "RI" and not multiref:
+                continue
+            slice_hdr += itf8(cid)
+        slice_hdr += itf8(0)  # pad the id array entry for the core block
+        slice_hdr += itf8(0xFFFFFFFF & -1)  # embedded ref block id (-1)
+        slice_hdr += b"\x00" * 16  # md5
+
+        sh_block = block(2, 0, bytes(slice_hdr), method)
+        out += container(
+            [ch_block, sh_block] + data_blocks,
+            ref_seq_id=sl["ref_id"] & 0xFFFFFFFF if sl["ref_id"] < 0
+            else sl["ref_id"],
+            start=start_pos,
+            n_records=len(recs),
+        )
+
+    # EOF container (ref -1, no records, one empty block)
+    out += container(
+        [block(1, 0, b"", "raw")],
+        ref_seq_id=0xFFFFFFFF,
+        n_records=0,
+    )
+    with open(path, "wb") as f:
+        f.write(out)

@@ -97,9 +97,9 @@ def test_convert_single_block(tmp_path):
     assert qc["post_retro"] == 6
 
 
-def test_cram_rejected(tmp_path):
-    with pytest.raises(ConvertError, match="CRAM"):
-        convert_reads(str(tmp_path / "x.cram"), binsize=1000)
+def test_unknown_extension_rejected(tmp_path):
+    with pytest.raises(ConvertError, match="extension"):
+        convert_reads(str(tmp_path / "x.sam"), binsize=1000)
 
 
 def test_bad_file(tmp_path):

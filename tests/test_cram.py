@@ -1,0 +1,152 @@
+"""Native CRAM reader tests: a hand-built CRAM must convert to the exact
+same binned counts + QC counters as the equivalent BAM (reference parity
+surface: convert_tools.py:22-33 accepts .cram via pysam/htslib)."""
+
+import numpy as np
+import pytest
+
+import bamtools
+import cramtools
+from wisecondorx_tpu.io.bam import convert_reads
+
+REFS = [("chr1", 2_000_000), ("chrX", 1_500_000), ("Y", 1_000_000),
+        ("MT", 16_000)]  # MT must be skipped by contig normalization
+BINSIZE = 5000.0
+
+
+def _records():
+    """A record mix exercising every filter branch.
+
+    Each entry: (ref_slot, pos, mapq, flag, pnext, mate_kind)
+    mate_kind: None (unpaired), "detached", ("nf", k).
+    """
+    P = 0x1  # paired
+    PP = 0x3  # paired + proper
+    recs = []
+    # chr1: proper pairs, one downstream-mate pair, duplicates, low mapq
+    recs.append((0, 1000, 60, PP, 5000, "detached"))
+    recs.append((0, 1000, 60, PP, 5000, "detached"))  # dup (same pos+pnext)
+    recs.append((0, 1000, 60, PP, 7000, "detached"))  # same pos, diff pnext
+    recs.append((0, 2000, 0, PP, 6000, "detached"))   # mapq fail
+    recs.append((0, 2500, 60, P, 6500, "detached"))   # not proper pair
+    # downstream-mate pair: rec at 3000 mates with rec at 9000 (1 apart)
+    recs.append((0, 3000, 60, PP, 9000, ("nf", 0)))
+    recs.append((0, 9000, 60, PP, 3000, None))  # resolved by partner's NF
+    # unpaired reads incl. consecutive-position duplicate
+    recs.append((0, 12000, 60, 0, -1, None))
+    recs.append((0, 12000, 60, 0, -1, None))  # unpaired dup
+    # unmapped-but-placed; mapq 0 (CRAM stores no MQ for unmapped records,
+    # so a nonzero mapq here would be unrepresentable — htslib is equally
+    # lossy)
+    recs.append((0, 15000, 0, 0x4, -1, None))
+    # chrX + Y
+    recs.append((1, 800_000, 60, 0, -1, None))
+    recs.append((2, 123_000, 60, 0, -1, None))
+    # MT: skipped contig, still counted in QC totals
+    recs.append((3, 100, 60, 0, -1, None))
+    return recs
+
+
+def _write_pair(tmp_path, *, method="raw", ap_delta=True, bf_huffman=False,
+                mq_beta=False, multiref=False):
+    recs = _records()
+    bam_path = str(tmp_path / "a.bam")
+    cram_path = str(tmp_path / "a.cram")
+
+    bam_records = [
+        bamtools.bam_record(
+            slot, pos, mapq=mapq, flag=flag,
+            next_refid=slot if pnext >= 0 else -1, next_pos=pnext,
+        )
+        for slot, pos, mapq, flag, pnext, _ in recs
+    ]
+    bamtools.write_bam(bam_path, REFS, bam_records)
+
+    def cram_rec(slot, pos, mapq, flag, pnext, mate):
+        r = {"flag": flag, "pos": pos, "mapq": mapq}
+        if multiref:
+            r["ref_id"] = slot
+        if mate == "detached":
+            r["pnext"] = pnext
+        elif isinstance(mate, tuple):
+            r["nf"] = mate[1]
+        return r
+
+    if multiref:
+        slices = [{
+            "ref_id": -2,
+            "records": [cram_rec(*r) for r in recs],
+        }]
+    else:
+        # one slice per contiguous same-ref run (records are ref-sorted)
+        slices = []
+        for slot, pos, mapq, flag, pnext, mate in recs:
+            if not slices or slices[-1]["ref_id"] != slot:
+                slices.append({"ref_id": slot, "records": []})
+            slices[-1]["records"].append(
+                cram_rec(slot, pos, mapq, flag, pnext, mate)
+            )
+    cramtools.write_cram(
+        cram_path, REFS, slices, method=method, ap_delta=ap_delta,
+        bf_huffman=bf_huffman, mq_beta=mq_beta,
+    )
+    return bam_path, cram_path
+
+
+def _assert_equal_outputs(bam_path, cram_path):
+    bins_b, qc_b = convert_reads(bam_path, BINSIZE)
+    bins_c, qc_c = convert_reads(cram_path, BINSIZE)
+    assert qc_b == qc_c
+    for key in bins_b:
+        if bins_b[key] is None:
+            assert bins_c[key] is None, key
+        else:
+            np.testing.assert_array_equal(bins_b[key], bins_c[key], err_msg=key)
+    # sanity: the fixture actually exercises the filters
+    assert qc_b["filter_rmdup"] == 2
+    assert qc_b["filter_mapq"] == 2
+    assert qc_b["pair_fail"] == 1
+    assert qc_b["unmapped"] == 1
+
+
+@pytest.mark.parametrize("method", ["raw", "gzip", "rans0", "rans1"])
+def test_cram_matches_bam_codecs(tmp_path, method):
+    _assert_equal_outputs(*_write_pair(tmp_path, method=method))
+
+
+@pytest.mark.parametrize("ap_delta", [True, False])
+def test_cram_ap_delta(tmp_path, ap_delta):
+    _assert_equal_outputs(*_write_pair(tmp_path, ap_delta=ap_delta))
+
+
+def test_cram_core_encodings(tmp_path):
+    """BF via canonical Huffman bits + MQ via BETA, both in the core
+    block."""
+    _assert_equal_outputs(
+        *_write_pair(tmp_path, bf_huffman=True, mq_beta=True, method="gzip")
+    )
+
+
+def test_cram_multiref_slice(tmp_path):
+    _assert_equal_outputs(*_write_pair(tmp_path, multiref=True))
+
+
+def test_rans_roundtrip_direct():
+    """The rANS encoder/decoder pair round-trips via an actual CRAM block
+    (heavier-tailed data than the record streams)."""
+    rng = np.random.default_rng(0)
+    data = rng.choice(
+        np.arange(256), p=np.random.default_rng(1).dirichlet(
+            np.full(256, 0.05)
+        ), size=100_000,
+    ).astype(np.uint8).tobytes()
+    for method in ("rans0", "rans1"):
+        comp = cramtools.compress(data, method)
+        assert len(comp) < len(data)  # actually compresses
+
+
+def test_cram_rejects_bad_magic(tmp_path):
+    p = tmp_path / "x.cram"
+    p.write_bytes(b"NOPE" + b"\x00" * 40)
+    with pytest.raises(Exception, match="not a CRAM|Failed to open"):
+        convert_reads(str(p), BINSIZE)

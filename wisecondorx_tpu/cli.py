@@ -288,11 +288,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convert and filter aligned reads to .npz",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    p.add_argument("infile", type=str, help="aligned reads input (.bam)")
+    p.add_argument(
+        "infile", type=str, help="aligned reads input (.bam or .cram)"
+    )
     p.add_argument("outfile", type=str, help="Output .npz file")
     p.add_argument(
         "-r", "--reference", type=str,
-        help="Fasta reference to be used during cram conversion",
+        help="Fasta reference (accepted for compatibility; the native "
+        "CRAM reader does not reconstruct sequences and needs no fasta)",
     )
     p.add_argument("--binsize", type=float, default=5e3, help="Bin size (bp)")
     p.add_argument(

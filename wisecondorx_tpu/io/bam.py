@@ -1,19 +1,22 @@
-"""BAM conversion: aligned reads -> per-chromosome binned counts.
+"""BAM/CRAM conversion: aligned reads -> per-chromosome binned counts.
 
-Drives the native C++ reader (native/bamreader.cpp) through ctypes — the
-image has no pysam, and the reference's per-read Python loop
-(convert_tools.py:15-120) is its second hottest path anyway.  The native
-pass streams the whole coordinate-sorted BAM once, binning all selected
-contigs simultaneously (the reference re-fetches per contig through the
-index; a single sequential pass visits reads in the same order, so the
-larp/larp2 duplicate-removal state machine behaves identically).
+Drives the native C++ readers (native/bamreader.cpp for BGZF BAM,
+native/cramreader.cpp for CRAM 3.0) through ctypes — the image has no
+pysam, and the reference's per-read Python loop (convert_tools.py:15-120)
+is its second hottest path anyway.  The native pass streams the whole
+coordinate-sorted file once, binning all selected contigs simultaneously
+(the reference re-fetches per contig through the index; a single
+sequential pass visits reads in the same order, so the larp/larp2
+duplicate-removal state machine behaves identically).
 
 Contig-name semantics mirror convert_tools.py:50-71: a leading "chr" is
 stripped case-insensitively, X -> "23", Y -> "24", anything not in 1..24
 is skipped; per-contig count arrays are sized ``int(length/binsize + 1)``.
 
-CRAM input is not supported natively (it requires htslib's full codec
-stack); a clear error is raised.
+The CRAM reader decodes only the data series the binner needs (BF, CF,
+RI, AP, MQ, NF, NP) — sequences are never reconstructed, so unlike
+pysam/htslib no reference FASTA is required; ``-r/--reference`` is
+accepted for CLI compatibility and ignored.
 """
 
 from __future__ import annotations
@@ -48,16 +51,19 @@ _QC_KEYS = (
 
 def _build_library() -> Path:
     so = _NATIVE_DIR / "libwcxbam.so"
-    src = _NATIVE_DIR / "bamreader.cpp"
-    if not src.exists():
-        raise ConvertError(f"native source missing: {src}")
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        logging.info("Building native BAM reader ...")
+    srcs = [_NATIVE_DIR / "bamreader.cpp", _NATIVE_DIR / "cramreader.cpp"]
+    for src in srcs:
+        if not src.exists():
+            raise ConvertError(f"native source missing: {src}")
+    if not so.exists() or any(
+        so.stat().st_mtime < s.stat().st_mtime for s in srcs
+    ):
+        logging.info("Building native BAM/CRAM reader ...")
         subprocess.check_call(
             [
                 os.environ.get("CXX", "g++"),
                 "-O3", "-std=c++17", "-fPIC", "-shared", "-Wall",
-                "-o", str(so), str(src), "-lz",
+                "-o", str(so), *map(str, srcs), "-lz",
             ]
         )
     return so
@@ -70,27 +76,34 @@ def _load_library():
     override = os.environ.get("WCX_TPU_NATIVE_LIB")
     so = Path(override) if override else _build_library()
     lib = ctypes.CDLL(str(so))
-    lib.wcx_bam_open.restype = ctypes.c_void_p
-    lib.wcx_bam_open.argtypes = [ctypes.c_char_p]
-    lib.wcx_bam_error.restype = ctypes.c_char_p
-    lib.wcx_bam_error.argtypes = [ctypes.c_void_p]
-    lib.wcx_bam_nref.restype = ctypes.c_int
-    lib.wcx_bam_nref.argtypes = [ctypes.c_void_p]
-    lib.wcx_bam_ref_name.restype = ctypes.c_char_p
-    lib.wcx_bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.wcx_bam_ref_len.restype = ctypes.c_int64
-    lib.wcx_bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
-    lib.wcx_bam_count.restype = ctypes.c_int
-    lib.wcx_bam_count.argtypes = [
-        ctypes.c_void_p,
-        ctypes.c_double,
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.wcx_bam_close.argtypes = [ctypes.c_void_p]
+    for prefix in ("wcx_bam", "wcx_cram"):
+        open_f = getattr(lib, prefix + "_open")
+        open_f.restype = ctypes.c_void_p
+        open_f.argtypes = [ctypes.c_char_p]
+        err_f = getattr(lib, prefix + "_error")
+        err_f.restype = ctypes.c_char_p
+        err_f.argtypes = [ctypes.c_void_p]
+        nref_f = getattr(lib, prefix + "_nref")
+        nref_f.restype = ctypes.c_int
+        nref_f.argtypes = [ctypes.c_void_p]
+        name_f = getattr(lib, prefix + "_ref_name")
+        name_f.restype = ctypes.c_char_p
+        name_f.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        len_f = getattr(lib, prefix + "_ref_len")
+        len_f.restype = ctypes.c_int64
+        len_f.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        count_f = getattr(lib, prefix + "_count")
+        count_f.restype = ctypes.c_int
+        count_f.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        getattr(lib, prefix + "_close").argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -114,29 +127,41 @@ def convert_reads(
     reference_fasta: str | None = None,
     normdup: bool = False,
 ):
-    """Convert a BAM file to (bins dict chr->int32 counts, quality dict).
+    """Convert a BAM/CRAM file to (bins dict chr->int32 counts, quality
+    dict).
 
     Matches the reference's output contract (convert_tools.py:107-120).
     """
     if infile.endswith(".cram"):
-        raise ConvertError(
-            "CRAM input is not supported by the native reader; convert to "
-            "BAM (samtools view -b) first."
-        )
-    if not infile.endswith(".bam"):
+        prefix = "wcx_cram"
+        if reference_fasta:
+            logging.info(
+                "CRAM decode does not reconstruct sequences; the reference "
+                "fasta is not needed and will be ignored."
+            )
+    elif infile.endswith(".bam"):
+        prefix = "wcx_bam"
+    else:
         raise ConvertError(
             "Unsupported input file type. Make sure your input filename "
-            "has a correct extension (bam)"
+            "has a correct extension (bam/cram)"
         )
 
     lib = _load_library()
-    handle = lib.wcx_bam_open(infile.encode())
+    f_open = getattr(lib, prefix + "_open")
+    f_error = getattr(lib, prefix + "_error")
+    f_nref = getattr(lib, prefix + "_nref")
+    f_ref_name = getattr(lib, prefix + "_ref_name")
+    f_ref_len = getattr(lib, prefix + "_ref_len")
+    f_count = getattr(lib, prefix + "_count")
+    f_close = getattr(lib, prefix + "_close")
+
+    handle = f_open(infile.encode())
     try:
-        n_ref = lib.wcx_bam_nref(handle)
+        n_ref = f_nref(handle)
         if n_ref < 0:
             raise ConvertError(
-                f"Failed to open {infile}: "
-                f"{lib.wcx_bam_error(handle).decode()}"
+                f"Failed to open {infile}: {f_error(handle).decode()}"
             )
 
         bins_per_chr: dict = {str(c): None for c in range(1, 25)}
@@ -144,8 +169,8 @@ def convert_reads(
         buffers: list[np.ndarray] = []
         buffer_keys: list[str] = []
         for i in range(n_ref):
-            raw_name = lib.wcx_bam_ref_name(handle, i).decode()
-            length = lib.wcx_bam_ref_len(handle, i)
+            raw_name = f_ref_name(handle, i).decode()
+            length = f_ref_len(handle, i)
             key = _normalize_contig(raw_name)
             if key is None:
                 continue
@@ -170,7 +195,7 @@ def convert_reads(
         logging.info(
             "Converting aligned reads ... This might take a while ..."
         )
-        rc = lib.wcx_bam_count(
+        rc = f_count(
             handle,
             float(binsize),
             1 if normdup else 0,
@@ -181,10 +206,10 @@ def convert_reads(
         )
         if rc != 0:
             raise ConvertError(
-                f"BAM parsing failed: {lib.wcx_bam_error(handle).decode()}"
+                f"Parsing failed: {f_error(handle).decode()}"
             )
     finally:
-        lib.wcx_bam_close(handle)
+        f_close(handle)
 
     for key, arr in zip(buffer_keys, buffers):
         bins_per_chr[key] = arr

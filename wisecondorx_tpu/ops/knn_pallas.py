@@ -198,26 +198,45 @@ def _extract_topk_kernel(vals_ref, idx_ref, out_v_ref, out_i_ref,
     Replaces ``jax.lax.approx_max_k`` on the [rows, lanes*depth] pool —
     whose TPU lowering takes ~44 s to compile at production shapes through
     the axon remote-compile path — with a simple VPU loop that compiles in
-    seconds and runs in milliseconds per tile.
+    seconds and runs in milliseconds per tile.  Extracted values collect
+    into 128-lane register blocks (Mosaic cannot store to a dynamic
+    single-lane offset) that flush at static offsets.
     """
     rt, p = vals_ref.shape
     gi = jax.lax.broadcasted_iota(jnp.int32, (rt, p), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
     big = jnp.int32(2**30)
+    cur = vals_ref[:]
+    iv = idx_ref[:]
 
-    def body(i, cur):
-        v = jnp.min(cur, axis=1, keepdims=True)  # [RT, 1]
-        hit = cur == v
-        sel = jnp.min(jnp.where(hit, gi, big), axis=1, keepdims=True)
-        chosen = gi == sel  # exactly one lane per row
-        out_v_ref[:, pl.ds(i, 1)] = v
-        # One lane survives the mask; min-reduce extracts its index value
-        # (works for the -1 sentinel too).
-        out_i_ref[:, pl.ds(i, 1)] = jnp.min(
-            jnp.where(chosen, idx_ref[:], big), axis=1, keepdims=True
-        )
-        return jnp.where(chosen, jnp.inf, cur)
+    for k0 in range(0, out_v_ref.shape[1], 128):
+        n_here = min(128, ref_size - k0)
 
-    jax.lax.fori_loop(0, ref_size, body, vals_ref[:])
+        def body(j, carry):
+            cur, bv, bi = carry
+            v = jnp.min(cur, axis=1, keepdims=True)  # [RT, 1]
+            hit = cur == v
+            sel = jnp.min(jnp.where(hit, gi, big), axis=1, keepdims=True)
+            chosen = gi == sel  # exactly one lane per row
+            # That lane's index value via a masked min-reduce (works for
+            # the -1 sentinel too: exactly one lane survives the mask).
+            ival = jnp.min(
+                jnp.where(chosen, iv, big), axis=1, keepdims=True
+            )
+            bv = jnp.where(lane == j, v, bv)
+            bi = jnp.where(lane == j, ival, bi)
+            return jnp.where(chosen, jnp.inf, cur), bv, bi
+
+        bv0 = jnp.full((rt, 128), jnp.inf, jnp.float32)
+        bi0 = jnp.full((rt, 128), -1, jnp.int32)
+        if n_here > 0:
+            cur, bv, bi = jax.lax.fori_loop(
+                0, n_here, body, (cur, bv0, bi0)
+            )
+        else:
+            bv, bi = bv0, bi0
+        out_v_ref[:, k0 : k0 + 128] = bv
+        out_i_ref[:, k0 : k0 + 128] = bi
 
 
 @functools.partial(
@@ -234,6 +253,7 @@ def _finalize(vals, idx, drop, *, ref_size: int, row_tile: int = 256,
     r_pad, p = vals.shape
     row_tile = min(row_tile, r_pad)
     grid = (r_pad // row_tile,)
+    k_pad = _round_up(ref_size, 128)
     top_vals, top_idx = pl.pallas_call(
         functools.partial(_extract_topk_kernel, ref_size=ref_size),
         grid=grid,
@@ -244,22 +264,24 @@ def _finalize(vals, idx, drop, *, ref_size: int, row_tile: int = 256,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((row_tile, ref_size), lambda i: (i, 0),
+            pl.BlockSpec((row_tile, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, ref_size), lambda i: (i, 0),
+            pl.BlockSpec((row_tile, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r_pad, ref_size), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, ref_size), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, k_pad), jnp.int32),
         ),
+        # Flat generous cap (v5e has 128 MB physical VMEM; the scoped
+        # default of 16 MB is far below this kernel's working set).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                3 * row_tile * p * 4 + 4 * row_tile * ref_size * 4 + 2**21
-            ),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(vals, idx)
+    top_vals = top_vals[:, :ref_size]
+    top_idx = top_idx[:, :ref_size]
     finite = jnp.isfinite(top_vals)
     tau = jnp.max(jnp.where(finite, top_vals, -jnp.inf), axis=1)
     min_drop = jnp.min(drop, axis=1)
