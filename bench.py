@@ -158,6 +158,31 @@ def main():
 
     ours = t_up + t_pca + t_knn + t_null
 
+    # ---- CBS at 15 kb (chr1-scale segmentation with planted CNVs) ----
+    try:
+        from wisecondorx_tpu.ops.cbs import CBSConfig, exec_cbs
+
+        n1 = int(ml.masked_bins_per_chr[0])
+        log_r = rng.normal(0.0, 0.08, n1)
+        log_r[n1 // 4 : n1 // 4 + 400] += 0.58
+        log_r[n1 // 2 : n1 // 2 + 60] -= 1.0
+        weights = np.abs(rng.normal(1.0, 0.1, n1))
+        # exec_cbs iterates 23 chromosomes; all-zero ones turn NA and are
+        # dropped immediately, so only chr1 costs time.
+        results_r = [log_r] + [np.zeros(8)] * 22
+        results_w = [weights] + [np.ones(8)] * 22
+        tc = time.perf_counter()
+        rows = exec_cbs(
+            results_r, results_w, "F", int(binsize),
+            cfg=CBSConfig(nperm=10000),
+        )
+        t_cbs = time.perf_counter() - tc
+        log(
+            f"cbs: chr1 ({n1} bins) in {t_cbs:.2f}s -> {len(rows)} segments"
+        )
+    except Exception as e:  # auxiliary
+        log(f"cbs bench skipped: {e}")
+
     # ---- predict throughput (batched) ----
     try:
         from wisecondorx_tpu.parallel.batch import _batched_kernel

@@ -68,6 +68,14 @@ class CBSConfig:
     kmax: int = 25
     #: Geometric spacing of the long-arc length grid.
     length_ratio: float = 1.08
+    #: Segments up to this size use the exact all-lengths arc family for
+    #: the permutation test too (the thinned grid only kicks in above it,
+    #: where its O(n log n) cost matters).
+    exact_max: int = 2048
+    #: Significance method: "perm" (Monte-Carlo permutation, default) or
+    #: "hybrid" (DNAcopy-style: permutation over short arcs <= kmax plus a
+    #: Siegmund-type analytic tail bound for the long arcs).
+    p_method: str = "perm"
 
 
 # ---------------------------------------------------------------------------
@@ -163,24 +171,80 @@ def _bucket(n: int) -> int:
     return p
 
 
-def _arc_lengths(n: int, cfg: CBSConfig) -> np.ndarray:
-    """Arc-length test family: all lengths up to kmax (and their circular
-    mirrors >= n - kmax) exactly, plus a geometric grid in between, padded
-    with zeros to a bucketed size for jit-cache stability."""
+def _arc_lengths(n: int, cfg: CBSConfig, short_only: bool = False):
+    """Arc-length test family, zero-padded to a bucketed size.
+
+    * n <= exact_max: every length in [min_width, n - min_width] — the
+      test statistic is then identical to DNAcopy's full max;
+    * larger n: all lengths up to kmax (and their circular mirrors) plus a
+      geometric grid — the thinned family documented in the module
+      docstring;
+    * short_only: only lengths <= kmax and their mirrors (the
+      permutation part of the hybrid p-value).
+    """
     mw = cfg.min_width
     top = n - mw
     if top < mw:
         return np.zeros(8, dtype=np.int32)
-    ls = set(range(mw, min(cfg.kmax, top) + 1))
-    ls.update(range(max(mw, n - cfg.kmax), top + 1))
-    length = float(cfg.kmax)
-    while length < top:
-        length = max(length * cfg.length_ratio, length + 1.0)
-        ls.add(min(int(length), top))
-    out = np.array(sorted(ls), dtype=np.int32)
+    if n <= cfg.exact_max and not short_only:
+        out = np.arange(mw, top + 1, dtype=np.int32)
+    else:
+        ls = set(range(mw, min(cfg.kmax, top) + 1))
+        ls.update(range(max(mw, n - cfg.kmax), top + 1))
+        if not short_only:
+            length = float(cfg.kmax)
+            while length < top:
+                length = max(length * cfg.length_ratio, length + 1.0)
+                ls.add(min(int(length), top))
+        out = np.array(sorted(ls), dtype=np.int32)
     padded = np.zeros(_bucket(len(out)), dtype=np.int32)
     padded[: len(out)] = out
     return padded
+
+
+# ---------------------------------------------------------------------------
+# Analytic tail (the "hybrid" option)
+# ---------------------------------------------------------------------------
+
+
+def _nu(x):
+    """Siegmund's overshoot correction nu(x) (computable approximation)."""
+    x = np.maximum(np.asarray(x, dtype=np.float64), 1e-8)
+    from scipy.stats import norm as _norm
+
+    phi = _norm.pdf(x / 2)
+    Phi = _norm.cdf(x / 2)
+    return ((2.0 / x) * (Phi - 0.5)) / ((x / 2) * Phi + phi)
+
+
+def _tail_prob_long_arcs(b: float, n: int, kmax: int) -> float:
+    """P(max over arcs longer than kmax of |T| >= b) under H0.
+
+    Siegmund-type approximation for the maximum of the standardized
+    two-sample statistic over the TWO-parameter family (arc start and arc
+    length fraction t in (kmax/n, 1/2]):
+
+        p ~= b^3 * phi(b) * Int nu(b*sqrt(2/(n t(1-t))))^2 / (t(1-t))^2 dt
+
+    — the two-parameter field version of the formula behind DNAcopy's
+    hybrid `tailp` (structurally equivalent, not claimed bit-identical).
+    Empirical calibration (tests/test_cbs_battery.py): within a factor ~2
+    of Monte-Carlo in the moderate tail at n=200, erring conservative
+    (over-estimating p, i.e. under-splitting).  Returns 1.0 for tiny b.
+    """
+    from scipy.stats import norm as _norm
+
+    if not np.isfinite(b) or b <= 1.0:
+        return 1.0
+    t0 = max(kmax / n, 1e-6)
+    if t0 >= 0.5:
+        return 0.0
+    t = np.linspace(t0, 0.5, 1024)
+    tt = t * (1.0 - t)
+    integrand = _nu(b * np.sqrt(2.0 / (n * tt))) ** 2 / tt**2
+    integral = np.trapezoid(integrand, t)
+    p = float(b**3 * _norm.pdf(b) * integral)
+    return min(max(p, 0.0), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -209,11 +273,23 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
     if not np.isfinite(obs_f) or obs_f <= 0:
         return False, 0, 0
 
+    perm_lengths = lengths
+    alpha_budget = cfg.alpha
+    if cfg.p_method == "hybrid" and n > cfg.exact_max:
+        # DNAcopy-style hybrid: analytic tail bound for the long arcs plus
+        # a permutation estimate over the short arcs, both against the
+        # observed full max.
+        p_tail = _tail_prob_long_arcs(obs_f, n, cfg.kmax)
+        if p_tail > cfg.alpha:
+            return False, 0, 0
+        alpha_budget = cfg.alpha - p_tail
+        perm_lengths = jnp.asarray(_arc_lengths(n, cfg, short_only=True))
+
     # Monte-Carlo decision with early termination: once the exceedance
-    # count makes p > alpha certain, stop permuting.
+    # count makes p > the budget certain, stop permuting.
     # Batches always run at full perm_batch width (a single compiled kernel
     # per segment-size bucket); nperm acts as the minimum total drawn.
-    max_ones = int(np.floor(cfg.nperm * cfg.alpha)) + 1
+    max_ones = int(np.floor(cfg.nperm * alpha_budget)) + 1
     exceed = 0
     done = 0
     base = np.tile(np.arange(n_pad, dtype=np.int32), (cfg.perm_batch, 1))
@@ -222,7 +298,7 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
         order[:, :n] = rng.permuted(order[:, :n], axis=1)
         exceed += int(
             _perm_exceed_count(
-                xj, wj, jnp.int32(n), lengths, obs,
+                xj, wj, jnp.int32(n), perm_lengths, obs,
                 jnp.asarray(order), cfg.min_width,
             )
         )

@@ -32,6 +32,7 @@ un-scaled afterwards.  See tests/test_knn_f32.py for the measured effect.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -289,10 +290,16 @@ def _finalize(vals, idx, drop, *, ref_size: int, row_tile: int = 256,
     return top_vals, top_idx, flagged
 
 
-@functools.partial(jax.jit, static_argnames=("ref_size",))
-def _exact_rows(rows, rnorm, rchr, rstart, rsize,
-                data, cnorm, cchr, n_valid, sentinel, *, ref_size: int):
-    """Dense exact re-run for verification-flagged rows (few; one matmul)."""
+@jax.jit
+def _exact_row_distances(rows, rnorm, rchr, data, cnorm, cchr, n_valid,
+                         sentinel):
+    """Dense masked distances for verification-flagged rows.
+
+    Top-k selection happens on host (numpy argpartition over the
+    downloaded [tile, n_pad] block): a device top-k over the full
+    candidate axis would re-pay the multi-minute approx_max_k/sort
+    remote-compile for a path that handles a handful of rows.
+    """
     d = (
         rnorm[:, None]
         + cnorm[None, :]
@@ -306,11 +313,7 @@ def _exact_rows(rows, rnorm, rchr, rstart, rsize,
     n_pad = data.shape[0]
     g = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
     invalid = (rchr[:, None] == cchr[None, :]) | (g >= n_valid) | (d >= sentinel)
-    d = jnp.where(invalid, jnp.inf, d)
-    excl = g - jnp.where(g >= rstart[:, None], rsize[:, None], 0)
-    neg_top, arg = jax.lax.approx_max_k(-d, ref_size, recall_target=1.0)
-    top_idx = jnp.take_along_axis(excl, arg, axis=1)
-    return -neg_top, top_idx
+    return jnp.where(invalid, jnp.inf, d)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -411,6 +414,7 @@ def knn_search_pallas(
 
     row_chunk = max(row_tile, _round_up(min(row_chunk, n_rows), row_tile))
     pending = []
+    t_disp = time.perf_counter()
     for cs in range(0, n_rows, row_chunk):
         ce = min(cs + row_chunk, n_rows)
         r_pad = _round_up(ce - cs, row_tile)
@@ -444,6 +448,9 @@ def knn_search_pallas(
         # Async dispatch: results fetched after all chunks are queued.
         pending.append((cs, ce, top_vals, top_idx, flg))
 
+    if _stats is not None:
+        _stats["dispatch_s"] = round(time.perf_counter() - t_disp, 2)
+    t_fetch = time.perf_counter()
     # The tunneled d2h link is single-stream slow but multiplexes well
     # (~30 MB/s per stream, ~70 MB/s with 4); fetch all chunk results
     # over parallel streams.
@@ -464,6 +471,8 @@ def knn_search_pallas(
         distances[cs:ce] = np.where(unfilled, SENTINEL_DISTANCE, tv)
         indexes[cs:ce] = np.where(unfilled, -1, ti)
         flagged_global.append(np.nonzero(fl)[0] + cs)
+    if _stats is not None:
+        _stats["fetch_s"] = round(time.perf_counter() - t_fetch, 2)
 
     flagged = (
         np.concatenate(flagged_global)
@@ -475,11 +484,13 @@ def knn_search_pallas(
         _stats["scale"] = scale
         _stats["n_rows"] = n_rows
     if flagged.size:
-        tile = 512
+        t_rr = time.perf_counter()
+        tile = 8
         for fs in range(0, int(flagged.size), tile):
             rows_f = flagged[fs : fs + tile]
             pad_n = tile - rows_f.size
-            # Device gather of the flagged rows (index upload only).
+            # Device gather of the flagged rows (index upload only); dense
+            # masked distances come back and the top-k runs on host.
             gidx = np.concatenate(
                 [r0 + rows_f, np.zeros(pad_n, np.int64)]
             ).astype(np.int32)
@@ -489,24 +500,31 @@ def knn_search_pallas(
             fchr = np.concatenate(
                 [all_chr[rows_f], np.full(pad_n, -2, np.int32)]
             )
-            fstart = np.concatenate(
-                [row_start_all[rows_f], np.zeros(pad_n, np.int32)]
+            d = np.asarray(
+                _exact_row_distances(
+                    frows_j, fnorm_j, jnp.asarray(fchr),
+                    cand_j, cnorm_j[0], cchr_j[0],
+                    jnp.int32(n), jnp.float32(sent_scaled),
+                )
             )
-            fsize = np.concatenate(
-                [row_size_all[rows_f], np.zeros(pad_n, np.int32)]
-            )
-            fvals, fidx = _exact_rows(
-                frows_j, fnorm_j, jnp.asarray(fchr),
-                jnp.asarray(fstart), jnp.asarray(fsize),
-                cand_j, cnorm_j[0], cchr_j[0],
-                jnp.int32(n), jnp.float32(sent_scaled),
-                ref_size=ref_size,
-            )
-            fv = np.asarray(fvals)[: rows_f.size]
-            fi = np.asarray(fidx)[: rows_f.size]
-            unfilled = ~np.isfinite(fv)
-            distances[rows_f] = np.where(unfilled, SENTINEL_DISTANCE, fv)
-            indexes[rows_f] = np.where(unfilled, -1, fi)
+            for k_i, ri in enumerate(rows_f):
+                row = d[k_i]
+                kk = min(ref_size, row.shape[0])
+                part = np.argpartition(row, kk - 1)[:kk]
+                order = part[np.argsort(row[part], kind="stable")]
+                vals = row[order]
+                excl = order - np.where(
+                    order >= row_start_all[ri], row_size_all[ri], 0
+                )
+                out_v = np.full(ref_size, SENTINEL_DISTANCE, np.float32)
+                out_i = np.full(ref_size, -1, np.int32)
+                finite = np.isfinite(vals)
+                out_v[:kk][finite] = vals[finite]
+                out_i[:kk][finite] = excl[finite]
+                distances[ri] = out_v
+                indexes[ri] = out_i
+        if _stats is not None:
+            _stats["rerun_s"] = round(time.perf_counter() - t_rr, 2)
 
     # Un-scale finite distances back to the data's own units.
     finite = distances < SENTINEL_DISTANCE
