@@ -320,6 +320,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@jax.jit
+def _prep_rms(data):
+    work = data - jnp.mean(data, axis=0)
+    return jnp.sqrt(jnp.mean(work * work))
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "s_pad"))
+def _prep_candidates(data, scale, *, n_pad: int, s_pad: int):
+    n, s = data.shape
+    work = (data - jnp.mean(data, axis=0)) * scale
+    cand = jnp.pad(
+        work.astype(jnp.float32), ((0, n_pad - n), (0, s_pad - s))
+    )
+    return cand, jnp.sum(cand * cand, axis=1).reshape(1, -1)
+
+
 def knn_search_pallas(
     data: np.ndarray,
     chr_of_bin: np.ndarray,
@@ -372,12 +388,11 @@ def knn_search_pallas(
 
     # Center (distance-invariant) and rescale so f32 working values are
     # O(1): kills the ||a||^2+||b||^2-2ab cancellation at the ~1e-12
-    # distance scale of depth-normalized profiles.  One tiny readback (the
-    # RMS scalar) — everything else stays on device.
+    # distance scale of depth-normalized profiles.  Two fused device
+    # programs + one tiny readback (the RMS scalar) — eager per-op
+    # dispatches are expensive over the tunneled link.
     data_j = jnp.asarray(data)
-    mu = jnp.mean(data_j, axis=0)
-    work = data_j - mu
-    rms = float(jnp.sqrt(jnp.mean(work * work)))
+    rms = float(_prep_rms(data_j))
     if not np.isfinite(rms) or rms == 0.0:
         rms = 1.0
     scale = 1.0 / rms
@@ -385,11 +400,9 @@ def knn_search_pallas(
     # Keep the sentinel representable with headroom below f32 inf.
     sent_scaled = min(sent_scaled, 1e30)
 
-    cand_j = jnp.pad(
-        (work * scale).astype(jnp.float32),
-        ((0, n_pad - n), (0, s_pad - s)),
+    cand_j, cnorm_j = _prep_candidates(
+        data_j, jnp.asarray(scale, data_j.dtype), n_pad=n_pad, s_pad=s_pad
     )
-    cnorm_j = jnp.sum(cand_j * cand_j, axis=1).reshape(1, -1)
 
     col_chr = np.full(n_pad, -2, dtype=np.int32)
     col_chr[:n] = chr_of_bin

@@ -97,11 +97,19 @@ def knn_search_sharded(
     col_tile: int = 2048,
     merge_method: str | None = None,
 ):
-    """Sharded variant of :func:`wisecondorx_tpu.ops.knn.knn_search`.
+    """GSPMD-sharded variant of :func:`wisecondorx_tpu.ops.knn.knn_search`.
 
     Rows are padded to a multiple of the mesh size and split across the
     "bins" axis; results match the single-device kernel exactly (verified
     by the sharding-equivalence tests).
+
+    This is the mesh-jit path used by the multichip dry run; production
+    ``newref`` uses :func:`knn_search_multidevice`, which routes each
+    row part through the full single-device search (the fused Pallas
+    kernel on TPU, with its f32 centering and exactness certificate).
+    On TPU this XLA kernel's "partial" merge has unspecified tie order
+    and works on raw (uncentered) f32 data — fine for the tiny dry-run
+    shapes, not the production numerics path.
     """
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
