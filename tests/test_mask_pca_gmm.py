@@ -129,3 +129,26 @@ def test_gender_model_override(cohort):
     _, samples, genders_true = cohort
     genders, cutoff, _ = gmm_ops.train_gender_model(samples, yfrac_override=0.004)
     assert cutoff == 0.004
+
+
+def test_gender_model_reference_config_parity(cohort, ref_modules):
+    """Round-1 gap: the reference's exact GMM configuration (tol=1e-99,
+    unseeded init) was never parity-tested.  Run the reference's own
+    train_gender_model as the oracle and ours with the replication knobs
+    (tol=1e-99, random_state=None): cutoff and genders must agree."""
+    import types
+
+    _, samples, genders_true = cohort
+    args = types.SimpleNamespace(yfrac=None, plotyfrac=None)
+    ref_genders, ref_cutoff = ref_modules["newref_tools"].train_gender_model(
+        args, samples
+    )
+
+    genders, cutoff, _ = gmm_ops.train_gender_model(
+        samples, random_state=None, tol=1e-99
+    )
+    assert genders == ref_genders
+    np.testing.assert_allclose(cutoff, ref_cutoff, rtol=0, atol=4e-6)
+    # 4e-6 = one grid step of the 5000-point density grid: EM from a
+    # different unseeded k-means init can move the density minimum by at
+    # most a knot under these well-separated cohorts.

@@ -192,3 +192,36 @@ def test_multidevice_knn_row_range(setup):
     )
     np.testing.assert_array_equal(idx1, idx8)
     np.testing.assert_array_equal(dist1, dist8)
+
+
+def test_multihost_degenerate_and_file_sharding(setup):
+    """Single-process multihost path == multidevice path; file sharding
+    covers every file exactly once across processes."""
+    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+    from wisecondorx_tpu.parallel.multihost import (
+        knn_search_multihost,
+        shard_files,
+    )
+    from wisecondorx_tpu.parallel.sharded_knn import knn_search_multidevice
+
+    sim, passes, _ = setup
+    a = passes["A"]
+    ml = MaskedLayout(
+        GenomeLayout(np.asarray(a["bins_per_chr"])),
+        np.asarray(a["mask"], bool),
+    )
+    rng = np.random.default_rng(9)
+    data = rng.normal(1.0, 0.02, size=(ml.n_masked, 10))
+    args = (
+        data, ml.chr_of_masked_bin, ml.masked_chr_starts,
+        ml.masked_bins_per_chr,
+    )
+    i1, d1 = knn_search_multidevice(*args, ref_size=15, col_tile=128)
+    i2, d2 = knn_search_multihost(*args, ref_size=15, col_tile=128)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)
+
+    files = [f"s{i}.npz" for i in range(11)]
+    shards = [shard_files(files, p, 4) for p in range(4)]
+    assert sum(shards, []) == files
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1

@@ -201,6 +201,10 @@ def tool_test_batch(args):
     from wisecondorx_tpu.output.tables import generate_output_tables
     from wisecondorx_tpu.parallel.batch import predict_batch
     from wisecondorx_tpu.parallel.mesh import sample_mesh
+    from wisecondorx_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+        shard_files,
+    )
 
     if not args.bed and not args.plot:
         logging.critical(
@@ -227,9 +231,18 @@ def tool_test_batch(args):
         sys.exit(1)
 
     os.makedirs(args.outdir, exist_ok=True)
+    # Multi-host: each process scores its own shard of the plate (pure
+    # data parallelism over DCN — no cross-host traffic).
+    pidx, pcount = maybe_initialize_distributed()
+    infiles = shard_files(args.infiles, pidx, pcount)
+    if pcount > 1:
+        logging.info(
+            "Process %d/%d takes %d of %d samples",
+            pidx, pcount, len(infiles), len(args.infiles),
+        )
     loaded = []
     outids = []
-    for infile in args.infiles:
+    for infile in infiles:
         sample, binsize, _ = load_sample_npz(infile)
         loaded.append((sample, binsize))
         base = os.path.basename(infile)
@@ -238,7 +251,9 @@ def tool_test_batch(args):
         )
     passes, meta = load_reference_npz(args.reference)
 
-    devices = jax.devices()
+    # Local devices only: under multi-host each process data-parallels its
+    # own shard over its own chips.
+    devices = jax.local_devices()
     mesh = sample_mesh(devices) if len(devices) > 1 else None
     logging.info(
         "Batch prediction: %d samples over %d device(s)",

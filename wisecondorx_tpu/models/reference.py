@@ -307,16 +307,17 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
     distances = np.ones((n_masked, cfg.refsize), dtype=corrected.dtype)
     r0 = 0 if row_range is None else row_range[0]
 
-    if len(jax.devices()) > 1:
-        # Contiguous row parts across all chips, one host thread per chip —
-        # the functional replacement for the reference's --cpus fan-out
+    if len(jax.devices()) > 1 or jax.process_count() > 1:
+        # Contiguous row parts across all chips (and, multi-host, across
+        # processes with one final all-gather) — the functional
+        # replacement for the reference's --cpus fan-out
         # (newref_control.py:90-109).
-        from wisecondorx_tpu.parallel.sharded_knn import (
-            knn_search_multidevice,
+        from wisecondorx_tpu.parallel.multihost import (
+            knn_search_multihost,
         )
 
         def search(rr):
-            return knn_search_multidevice(
+            return knn_search_multihost(
                 corrected,
                 ml.chr_of_masked_bin,
                 ml.masked_chr_starts,

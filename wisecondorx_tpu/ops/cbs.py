@@ -62,7 +62,7 @@ class CBSConfig:
     alpha: float = 1e-4
     nperm: int = 10000
     min_width: int = 2
-    perm_batch: int = 256
+    perm_batch: int = 1024
     seed: int | None = 0
     #: All arc lengths <= kmax are tested exactly (DNAcopy's kmax).
     kmax: int = 25
@@ -100,12 +100,16 @@ def _tstat_scan(cw, cwx, n, lengths, min_width):
     w_tot = jnp.take(cw, n, axis=1)  # [B]
     x_tot = jnp.take(cwx, n, axis=1)
     i_idx = jnp.arange(n_pad + 1)
+    # Arc end = start + L is a uniform shift: a contiguous dynamic slice
+    # of the edge-padded cumsums replaces the [B, n] gather (gathers are
+    # the slow path on the TPU VPU; slices are free).
+    cw2 = jnp.pad(cw, ((0, 0), (0, n_pad + 1)), mode="edge")
+    cwx2 = jnp.pad(cwx, ((0, 0), (0, n_pad + 1)), mode="edge")
 
     def body(carry, L):
         best, best_i, best_l = carry
-        j = jnp.clip(i_idx + L, 0, n_pad)
-        w1 = jnp.take(cw, j, axis=1) - cw
-        x1 = jnp.take(cwx, j, axis=1) - cwx
+        w1 = jax.lax.dynamic_slice_in_dim(cw2, L, n_pad + 1, axis=1) - cw
+        x1 = jax.lax.dynamic_slice_in_dim(cwx2, L, n_pad + 1, axis=1) - cwx
         w0 = w_tot[:, None] - w1
         x0 = x_tot[:, None] - x1
         t = (x1 / w1 - x0 / w0) * jax.lax.rsqrt(1.0 / w1 + 1.0 / w0)
@@ -144,16 +148,46 @@ def _observed_stat(x, w, n, lengths, min_width: int):
     return _tstat_scan(cw, cwx, n, lengths, min_width)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "n_pad", "batch"))
+def _device_perms(key, *, n: int, n_pad: int, batch: int):
+    """[batch, n_pad] uniform permutations of the first ``n`` slots
+    (identity on the padding), generated on device.
+
+    A vectorized Fisher-Yates (one swap step per fori iteration, all
+    batch rows in parallel): uniform over S_n like the host/R shuffle,
+    with no [batch, n] table upload — at production sizes those uploads
+    (10k perms x 16k bins x 4 B ~ 0.6 GB per confirmed split) dwarf the
+    statistic computation on the ~46 MB/s tunnel.  jax.random.permutation
+    is not an option: its argsort lowering hits the pathologically slow
+    TPU sort remote-compile (ROADMAP.md).
+    """
+    perm = jnp.tile(jnp.arange(n_pad, dtype=jnp.int32)[None], (batch, 1))
+    if n < 2:
+        return perm
+    u = jax.random.uniform(key, (n - 1, batch))
+    rows = jnp.arange(batch)
+
+    def body(t, perm):
+        i = n - 1 - t
+        j = jnp.floor(u[t] * (i + 1).astype(u.dtype)).astype(jnp.int32)
+        vi = jax.lax.dynamic_slice_in_dim(perm, i, 1, axis=1)[:, 0]
+        vj = jnp.take_along_axis(perm, j[:, None], axis=1)[:, 0]
+        perm = perm.at[rows, j].set(vi)
+        return jax.lax.dynamic_update_slice_in_dim(
+            perm, vj[:, None], i, axis=1
+        )
+
+    return jax.lax.fori_loop(0, n - 1, body, perm)
+
+
 @functools.partial(jax.jit, static_argnames=("min_width",))
 def _perm_exceed_count(x, w, n, lengths, obs, order, min_width: int):
     """Count permutations whose grid-max |T| >= the observed grid-max.
 
-    ``order`` is a host-generated [batch, n_pad] permutation table (each
-    row permutes the first n slots, identity on the padding): device-side
-    argsort-based shuffling would hit the same pathologically slow TPU sort
-    compile as lax.top_k (see ROADMAP.md), while a numpy Fisher-Yates per
-    batch costs milliseconds.  (Value, weight) pairs permute jointly —
-    bins are exchangeable with their precisions under H0.
+    ``order`` is a [batch, n_pad] permutation table (each row permutes
+    the first n slots, identity on the padding).  (Value, weight) pairs
+    permute jointly — bins are exchangeable with their precisions under
+    H0.
     """
     xp = jnp.take(x, order)
     wp = jnp.take(w, order)
@@ -289,17 +323,21 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
     # count makes p > the budget certain, stop permuting.
     # Batches always run at full perm_batch width (a single compiled kernel
     # per segment-size bucket); nperm acts as the minimum total drawn.
+    # Permutations generate on device (see _device_perms) from a key
+    # derived from the caller's seeded host RNG.
     max_ones = int(np.floor(cfg.nperm * alpha_budget)) + 1
     exceed = 0
     done = 0
-    base = np.tile(np.arange(n_pad, dtype=np.int32), (cfg.perm_batch, 1))
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
     while done < cfg.nperm and exceed < max_ones:
-        order = base.copy()
-        order[:, :n] = rng.permuted(order[:, :n], axis=1)
+        key, sub = jax.random.split(key)
+        order = _device_perms(
+            sub, n=n, n_pad=n_pad, batch=cfg.perm_batch
+        )
         exceed += int(
             _perm_exceed_count(
                 xj, wj, jnp.int32(n), perm_lengths, obs,
-                jnp.asarray(order), cfg.min_width,
+                order, cfg.min_width,
             )
         )
         done += cfg.perm_batch
