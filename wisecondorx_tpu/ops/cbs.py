@@ -150,34 +150,58 @@ def _observed_stat(x, w, n, lengths, min_width: int):
 
 @functools.partial(jax.jit, static_argnames=("n", "n_pad", "batch"))
 def _device_perms(key, *, n: int, n_pad: int, batch: int):
-    """[batch, n_pad] uniform permutations of the first ``n`` slots
+    """[batch, n_pad] random permutations of the first ``n`` slots
     (identity on the padding), generated on device.
 
-    A vectorized Fisher-Yates (one swap step per fori iteration, all
-    batch rows in parallel): uniform over S_n like the host/R shuffle,
-    with no [batch, n] table upload — at production sizes those uploads
-    (10k perms x 16k bins x 4 B ~ 0.6 GB per confirmed split) dwarf the
-    statistic computation on the ~46 MB/s tunnel.  jax.random.permutation
-    is not an option: its argsort lowering hits the pathologically slow
-    TPU sort remote-compile (ROADMAP.md).
+    Shuffle-by-sorting-random-keys, with the sort done by an explicit
+    bitonic network of vectorized compare-exchanges (reshape + min/max —
+    no gathers, no scatters, no ``lax.sort``): a Fisher-Yates needs n
+    sequential scatter steps (~seconds per batch at 16k bins), and
+    ``jax.random.permutation``'s argsort lowering hits the pathologically
+    slow TPU sort remote-compile (ROADMAP.md).  Host-side generation is
+    no better — the [nperm, n] tables would move ~0.6 GB per confirmed
+    split over the ~46 MB/s tunnel.
+
+    Ties in the 32-bit sort keys break deterministically by slot index
+    (P(any tie) ~ n^2/2^33 per row; the uniformity deviation is far below
+    Monte-Carlo resolution).  Padding slots carry +inf-like keys ordered
+    by index, so they stay put at the tail.
     """
-    perm = jnp.tile(jnp.arange(n_pad, dtype=jnp.int32)[None], (batch, 1))
-    if n < 2:
-        return perm
-    u = jax.random.uniform(key, (n - 1, batch))
-    rows = jnp.arange(batch)
+    # Sort keys: random u32 for real slots; huge, index-ordered for pads.
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    rand = jax.random.bits(key, (batch, n_pad), dtype=jnp.uint32)
+    # Clear the top bit of real keys and set it on padding keys: padding
+    # sorts after every real slot, among themselves by index.
+    rand = rand & jnp.uint32(0x7FFFFFFF)
+    rand = jnp.where(idx[None, :] < n, rand, jnp.uint32(0x80000000))
+    vals = jnp.broadcast_to(idx[None, :], (batch, n_pad))
 
-    def body(t, perm):
-        i = n - 1 - t
-        j = jnp.floor(u[t] * (i + 1).astype(u.dtype)).astype(jnp.int32)
-        vi = jax.lax.dynamic_slice_in_dim(perm, i, 1, axis=1)[:, 0]
-        vj = jnp.take_along_axis(perm, j[:, None], axis=1)[:, 0]
-        perm = perm.at[rows, j].set(vi)
-        return jax.lax.dynamic_update_slice_in_dim(
-            perm, vj[:, None], i, axis=1
-        )
+    def lex_gt(ka, va, kb, vb):
+        return (ka > kb) | ((ka == kb) & (va > vb))
 
-    return jax.lax.fori_loop(0, n - 1, body, perm)
+    keys, vals = rand, vals
+    m = n_pad
+    bs = 2
+    while bs <= m:
+        d = bs // 2
+        while d >= 1:
+            k4 = keys.reshape(batch, m // (2 * d), 2, d)
+            v4 = vals.reshape(batch, m // (2 * d), 2, d)
+            ka, kb = k4[:, :, 0], k4[:, :, 1]
+            va, vb = v4[:, :, 0], v4[:, :, 1]
+            g = jnp.arange(m // (2 * d), dtype=jnp.int32)
+            asc = (((g * 2 * d) // bs) % 2 == 0)[None, :, None]
+            gt = lex_gt(ka, va, kb, vb)
+            swap = jnp.where(asc, gt, ~gt)
+            na_k = jnp.where(swap, kb, ka)
+            nb_k = jnp.where(swap, ka, kb)
+            na_v = jnp.where(swap, vb, va)
+            nb_v = jnp.where(swap, va, vb)
+            keys = jnp.stack([na_k, nb_k], axis=2).reshape(batch, m)
+            vals = jnp.stack([na_v, nb_v], axis=2).reshape(batch, m)
+            d //= 2
+        bs *= 2
+    return vals
 
 
 @functools.partial(jax.jit, static_argnames=("min_width",))
@@ -328,12 +352,27 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
     max_ones = int(np.floor(cfg.nperm * alpha_budget)) + 1
     exceed = 0
     done = 0
+    # TPU: permutations generate on device (bitonic shuffle) — host tables
+    # would move ~0.6 GB per confirmed split over the tunnel.  CPU (the
+    # f64 parity/test path): a numpy Fisher-Yates per batch is faster
+    # than interpreting the unrolled sorting network.
+    on_tpu = jax.default_backend() == "tpu"
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    base = (
+        None
+        if on_tpu
+        else np.tile(np.arange(n_pad, dtype=np.int32), (cfg.perm_batch, 1))
+    )
     while done < cfg.nperm and exceed < max_ones:
-        key, sub = jax.random.split(key)
-        order = _device_perms(
-            sub, n=n, n_pad=n_pad, batch=cfg.perm_batch
-        )
+        if on_tpu:
+            key, sub = jax.random.split(key)
+            order = _device_perms(
+                sub, n=n, n_pad=n_pad, batch=cfg.perm_batch
+            )
+        else:
+            order = base.copy()
+            order[:, :n] = rng.permuted(order[:, :n], axis=1)
+            order = jnp.asarray(order)
         exceed += int(
             _perm_exceed_count(
                 xj, wj, jnp.int32(n), perm_lengths, obs,
