@@ -1,14 +1,21 @@
-"""Logging + per-stage timing.
+"""Logging + per-stage timing + JAX profiler hooks.
 
 The reference only has stdlib logging with a fixed format (main.py:492-496)
 and no timing; we keep the same format for log-parity and add a stage timer
-(SURVEY.md section 5 asks the rebuild to add per-stage timing hooks).
+and device-trace capture (SURVEY.md section 5 asks the rebuild to add
+per-stage timing + JAX profiler hooks).
+
+Set ``WCX_PROFILE_DIR=/path`` to capture a TensorBoard-compatible device
+trace of every timed stage (one trace directory per stage name); each
+stage also runs under a ``jax.profiler.TraceAnnotation`` so its ops are
+attributable inside larger traces.
 """
 
 from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 
 LOG_FORMAT = "[%(levelname)s - %(asctime)s]: %(message)s"
@@ -28,10 +35,22 @@ _STAGE_TIMES: dict[str, float] = {}
 
 @contextlib.contextmanager
 def stage_timer(name: str):
-    """Context manager logging and recording wall-clock of a pipeline stage."""
+    """Log + record a stage's wall-clock; optionally capture a device
+    trace (WCX_PROFILE_DIR) and annotate the stage for the profiler."""
+    profile_dir = os.environ.get("WCX_PROFILE_DIR")
+    trace_cm = contextlib.nullcontext()
+    annot_cm = contextlib.nullcontext()
+    if profile_dir:
+        import jax.profiler
+
+        trace_cm = jax.profiler.trace(
+            os.path.join(profile_dir, name.replace("/", "_"))
+        )
+        annot_cm = jax.profiler.TraceAnnotation(name)
     start = time.perf_counter()
     try:
-        yield
+        with trace_cm, annot_cm:
+            yield
     finally:
         elapsed = time.perf_counter() - start
         _STAGE_TIMES[name] = _STAGE_TIMES.get(name, 0.0) + elapsed
