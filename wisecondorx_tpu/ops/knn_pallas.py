@@ -105,6 +105,39 @@ def _knn_bucket_kernel(nvalid_ref, sent_ref,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("r_pad", "lanes", "depth", "row_tile", "interpret"),
+)
+def _bucket_scan_chunk(data, cnorm, cchr, starts_tab, sizes_tab, offset,
+                       n_valid, sentinel,
+                       *, r_pad: int, lanes: int, depth: int,
+                       row_tile: int, interpret: bool = False):
+    """One row chunk of the fused search, fully device-derived.
+
+    The chunk's target rows, norms, chromosome ids, and exclusion tables
+    are all slices/lookups of the resident candidate arrays at ``offset``
+    — a single dispatch per chunk with no host staging (uploads over the
+    tunnel cost more than the kernel itself).
+    """
+    rows = jax.lax.dynamic_slice_in_dim(data, offset, r_pad, axis=0)
+    rnorm = jax.lax.dynamic_slice_in_dim(
+        cnorm, offset, r_pad, axis=1
+    ).reshape(-1, 1)
+    rchr = jax.lax.dynamic_slice_in_dim(
+        cchr, offset, r_pad, axis=1
+    ).reshape(-1, 1)
+    safe = jnp.clip(rchr, 0, starts_tab.shape[0] - 1)
+    rstart = jnp.where(rchr >= 0, starts_tab[safe[:, 0]][:, None], 0)
+    rsize = jnp.where(rchr >= 0, sizes_tab[safe[:, 0]][:, None], 0)
+    return _bucket_scan(
+        rows, rnorm, rchr.astype(jnp.int32),
+        rstart.astype(jnp.int32), rsize.astype(jnp.int32),
+        data, cnorm, cchr, n_valid, sentinel,
+        lanes=lanes, depth=depth, row_tile=row_tile, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("lanes", "depth", "row_tile", "interpret"),
 )
 def _bucket_scan(rows, rnorm, rchr, rstart, rsize,
@@ -428,30 +461,19 @@ def knn_search_pallas(
     row_chunk = max(row_tile, _round_up(min(row_chunk, n_rows), row_tile))
     pending = []
     t_disp = time.perf_counter()
+    starts_j = jnp.asarray(starts.astype(np.int32))
+    sizes_j = jnp.asarray(sizes.astype(np.int32))
     for cs in range(0, n_rows, row_chunk):
         ce = min(cs + row_chunk, n_rows)
         r_pad = _round_up(ce - cs, row_tile)
-        # Target rows are a device-side slice of the candidate matrix
-        # (r0+cs+r_pad <= n_pad because row_tile divides lanes); the tail
-        # rows beyond ce are real candidates whose results are discarded.
-        rows_j = jax.lax.slice(
-            cand_j, (r0 + cs, 0), (r0 + cs + r_pad, s_pad)
-        )
-        rnorm_j = jax.lax.slice(
-            cnorm_j, (0, r0 + cs), (1, r0 + cs + r_pad)
-        ).reshape(-1, 1)
-        rchr = np.full((r_pad, 1), -2, dtype=np.int32)
-        rchr[: ce - cs, 0] = all_chr[cs:ce]
-        rstart = np.zeros((r_pad, 1), dtype=np.int32)
-        rstart[: ce - cs, 0] = row_start_all[cs:ce]
-        rsize = np.zeros((r_pad, 1), dtype=np.int32)
-        rsize[: ce - cs, 0] = row_size_all[cs:ce]
-
-        vals, idx, drop = _bucket_scan(
-            rows_j, rnorm_j, jnp.asarray(rchr),
-            jnp.asarray(rstart), jnp.asarray(rsize),
-            cand_j, cnorm_j, cchr_j, nvalid_j, sent_j,
-            lanes=lanes, depth=depth, row_tile=row_tile,
+        # Target rows + all their metadata are device-side slices/lookups
+        # of the candidate arrays at this offset (r0+cs+r_pad <= n_pad
+        # because row_tile divides lanes); tail rows beyond ce are real
+        # candidates whose results are discarded.
+        vals, idx, drop = _bucket_scan_chunk(
+            cand_j, cnorm_j, cchr_j, starts_j, sizes_j,
+            jnp.int32(r0 + cs), nvalid_j, sent_j,
+            r_pad=r_pad, lanes=lanes, depth=depth, row_tile=row_tile,
             interpret=interpret,
         )
         top_vals, top_idx, flg = _finalize(
