@@ -73,6 +73,24 @@ def main():
     n = ml.n_masked
     log(f"bins: {layout.total_bins} total, {n} masked; samples: {n_samples}")
 
+    # Compile warm-up: every hot-path program shape is known right here,
+    # so compile them on a thread while the host generates data and times
+    # the reference baseline.  A production newref overlaps these compiles
+    # with input npz parsing the same way (models/reference.py); the axon
+    # persistent cache cannot help (ROADMAP.md), overlap can.
+    from wisecondorx_tpu.utils.warmup import start_warmup
+
+    warm_compiles = start_warmup(
+        [
+            dict(
+                n_bins=n,
+                n_samples=n_samples,
+                ref_size=refsize,
+                n_chr=len(ml.masked_bins_per_chr),
+            )
+        ]
+    )
+
     depth = rng.lognormal(0.0, 0.03, size=(n, 1))
     data = (
         depth * rng.lognormal(0.0, 0.02, size=(n, n_samples))
@@ -101,6 +119,9 @@ def main():
 
     warm_done.wait(timeout=900)
     log("readback channel warm")
+    tw = time.perf_counter()
+    warm_compiles.wait(timeout=1200)
+    log(f"compile warm-up drained ({time.perf_counter() - tw:.2f}s residual)")
 
     import jax.numpy as jnp
 
@@ -121,6 +142,7 @@ def main():
 
     t1 = time.perf_counter()
     stats = {}
+    dev_out = {}
     from wisecondorx_tpu.ops.knn_pallas import knn_search_pallas
 
     if jax.default_backend() == "tpu":
@@ -131,6 +153,7 @@ def main():
             ml.masked_bins_per_chr,
             ref_size=refsize,
             _stats=stats,
+            _device_out=dev_out,
         )
     else:
         idx, dist = knn_ops.knn_search(
@@ -150,9 +173,15 @@ def main():
 
     t2 = time.perf_counter()
     chosen = knn_ops.choose_null_samples(n_samples, rng)
-    null_ratios = knn_ops.compute_null_ratios(
-        corrected, idx, chosen, backend="jax"
-    )
+    if "indexes" in dev_out:
+        # Device-resident index table: no ~230 MB re-upload over the tunnel.
+        null_ratios = knn_ops.compute_null_ratios_device(
+            corrected, dev_out["indexes"], chosen
+        )
+    else:
+        null_ratios = knn_ops.compute_null_ratios(
+            corrected, idx, chosen, backend="jax"
+        )
     t_null = time.perf_counter() - t2
     log(f"null ratios: {t_null:.2f}s")
 

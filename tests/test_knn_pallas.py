@@ -248,3 +248,94 @@ def test_empty_row_range():
         ref_size=5, row_range=(10, 10), **GEOM,
     )
     assert idx.shape == (0, 5)
+
+
+def test_overlap_chunk_plan_and_device_out():
+    """n_rows that is not a chunk multiple: the final chunk re-covers the
+    tail from n_rows - row_chunk with ONE kernel shape (the cold-process
+    compile-tax fix); the device-resident index output must equal the host
+    result, including rows corrected by the collision re-run."""
+    import jax.numpy as jnp
+
+    from wisecondorx_tpu.ops.knn_pallas import _chunk_plan
+
+    rng = np.random.default_rng(31)
+    bins_per_chr = [700, 500, 324]
+    starts, chr_of_bin = _layout(bins_per_chr)
+    n = int(sum(bins_per_chr))  # 1524 rows > row_chunk=1024 -> overlap
+    data = rng.integers(0, 8, size=(n, 16)).astype(np.float64)
+    # Plant a bucket collision so the rerun path fires and its correction
+    # must be patched into the device copy too.
+    target = 5
+    clones = list(range(709, n, 128))
+    assert len(clones) > GEOM["depth"]
+    for c in clones:
+        data[c] = data[target]
+
+    plan = _chunk_plan(n, 0, 1536, GEOM["row_tile"], GEOM["row_chunk"])
+    assert [p[3] for p in plan] == [1024, 1024]  # one compiled shape
+    assert plan[1] == (1024, 1524, 500, 1024, 524)  # tail re-covered
+
+    idx_s, dist_s = _sort_oracle(data, chr_of_bin, starts, bins_per_chr, 20)
+    stats, dev_out = {}, {}
+    idx_p, dist_p = knn_search_pallas(
+        data, chr_of_bin, starts, bins_per_chr, ref_size=20,
+        _stats=stats, _device_out=dev_out, **GEOM,
+    )
+    assert stats["flagged_rows"] >= 1
+    np.testing.assert_allclose(
+        np.sort(dist_p, axis=1).astype(np.float64),
+        np.sort(dist_s, axis=1), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(dev_out["indexes"]), idx_p)
+
+    # A caller-pinned larger n_pad (the planned pre-filter padding) must
+    # not change results.
+    idx_p2, dist_p2 = knn_search_pallas(
+        data, chr_of_bin, starts, bins_per_chr, ref_size=20,
+        n_pad=2048, **GEOM,
+    )
+    np.testing.assert_array_equal(dist_p2, dist_p)
+    # jnp import used above keeps the device arrays alive explicitly.
+    del jnp
+
+
+def test_null_ratios_device_matches_host():
+    """The all-device null-ratio driver must reproduce the host table,
+    including the -1 wraparound quirk and gonosomal placeholder rows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    n, s, k = 700, 12, 9
+    data = rng.lognormal(0, 0.1, size=(n, s))
+    idx = rng.integers(0, n, size=(n, k)).astype(np.int32)
+    idx[3, :4] = -1  # sentinel slots -> numpy wraparound parity
+    chosen = np.array([0, 2, 5, 7])
+
+    host = knn_ops.compute_null_ratios(data, idx, chosen, backend="numpy")
+    dev = knn_ops.compute_null_ratios_device(
+        jnp.asarray(data), jnp.asarray(idx), chosen
+    )
+    np.testing.assert_allclose(dev, host, rtol=1e-12)
+
+    # Gonosomal shape: placeholder zero-index rows prepended on device.
+    r0 = 300
+    idx_g = idx.copy()
+    idx_g[:r0] = 0
+    host_g = knn_ops.compute_null_ratios(
+        data, idx_g, chosen, backend="numpy"
+    )
+    dev_g = knn_ops.compute_null_ratios_device(
+        jnp.asarray(data), jnp.asarray(idx[r0:]), chosen,
+        placeholder_rows=r0,
+    )
+    np.testing.assert_allclose(dev_g, host_g, rtol=1e-12)
+
+
+def test_warmup_runs_on_cpu_interpreter():
+    """The warm-up driver compiles/dispatches the full hot path; forced on
+    (CPU) it must complete without error and leave no visible state."""
+    from wisecondorx_tpu.utils import warmup
+
+    done = warmup.start_warmup([], enabled=False)
+    assert done.wait(1)

@@ -182,6 +182,42 @@ def build_reference(
         fingerprint(matrix, cfg) if cfg.checkpoint_dir else None,
     )
 
+    # Planned program paddings per pass + compile warm-up.  Every hot-path
+    # program shape is derivable from the pre-filter mask; the PCA-distance
+    # filter only *removes* bins, so these paddings stay valid and a
+    # program compiled now (on a thread, overlapping PCA/eigh/host work)
+    # is the one the pass uses.  On the axon TPU path a cold process pays
+    # ~20 s per Pallas shape otherwise (persistent cache is inoperative,
+    # ROADMAP.md).
+    pads: dict[str, dict] = {}
+    warm_list = []
+    for gender, cols in plan:
+        tl_g = layout.truncated(LAST_CHR[gender])
+        pm_g = total_mask[: tl_g.total_bins]
+        n_est = int(pm_g.sum())
+        if n_est < 1024:
+            continue  # tiny cohorts: compiles are cheap, skip planning
+        entry: dict = {"n_pad": _round_up_pad(n_est, 1024)}
+        gono = None
+        if gender != "A":
+            ml_est = MaskedLayout(tl_g, pm_g.copy())
+            gono = n_est - int(ml_est.masked_chr_starts[22])
+            entry["row_pad"] = _round_up_pad(max(gono, 1), 256)
+        pads[gender] = entry
+        warm_list.append(
+            dict(
+                n_bins=n_est,
+                n_samples=int(cols.sum()),
+                ref_size=cfg.refsize,
+                n_chr=LAST_CHR[gender],
+                gonosome_rows=gono,
+                n_pad=entry["n_pad"],
+            )
+        )
+    from wisecondorx_tpu.utils.warmup import start_warmup
+
+    start_warmup(warm_list)
+
     for gender, cols in plan:
         saved = ckpt.load(f"pass_{gender}")
         if saved is not None:
@@ -197,7 +233,7 @@ def build_reference(
         with stage_timer(f"newref.pass_{gender}"):
             passes[gender] = _build_pass(
                 gender, matrix[:, cols], layout, total_mask, cfg,
-                _null_chooser, ckpt=ckpt,
+                _null_chooser, ckpt=ckpt, pads=pads.get(gender),
             )
         ckpt.save(
             f"pass_{gender}",
@@ -227,8 +263,12 @@ def _truncated_len(layout, gender):
     return layout.truncated(LAST_CHR[gender]).total_bins
 
 
+def _round_up_pad(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
-                ckpt=None):
+                ckpt=None, pads=None):
     """One reference pass (reference newref_control.py:24-80 + KNN stage).
 
     ``total_mask`` is mutated in place by the PCA-distance filter — the
@@ -307,6 +347,7 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
     distances = np.ones((n_masked, cfg.refsize), dtype=corrected.dtype)
     r0 = 0 if row_range is None else row_range[0]
 
+    dev_out = None
     if len(jax.devices()) > 1 or jax.process_count() > 1:
         # Contiguous row parts across all chips (and, multi-host, across
         # processes with one final all-gather) — the functional
@@ -328,6 +369,14 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 row_tile=cfg.row_tile,
             )
     else:
+        # Device-resident index output feeds the null-ratio gather without
+        # re-uploading the table; planned paddings keep the warmed compiles
+        # valid across the PCA-distance filter.  Checkpointed builds search
+        # in row chunks, so the single device table doesn't apply there.
+        if on_device and jax.default_backend() == "tpu" and not ckpt.enabled:
+            dev_out = {}
+        pads = pads or {}
+
         def search(rr):
             return knn_ops.knn_search(
                 corrected,
@@ -338,6 +387,9 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 row_range=rr,
                 col_tile=cfg.col_tile,
                 row_tile=cfg.row_tile,
+                n_pad=pads.get("n_pad"),
+                row_pad=pads.get("row_pad"),
+                device_out=dev_out,
             )
 
     if ckpt.enabled:
@@ -361,7 +413,12 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
         distances[r0:] = dist
 
     chosen = np.asarray(null_chooser(gender, corrected.shape[1]))
-    null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)
+    if dev_out is not None and "indexes" in dev_out:
+        null_ratios = knn_ops.compute_null_ratios_device(
+            corrected, dev_out["indexes"], chosen, placeholder_rows=r0
+        )
+    else:
+        null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)
 
     return {
         "binsize": cfg.binsize,

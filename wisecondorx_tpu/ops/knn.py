@@ -253,6 +253,9 @@ def knn_search(
     merge_method: str | None = None,
     buckets: int | None = None,
     levels: int | None = None,
+    n_pad: int | None = None,
+    row_pad: int | None = None,
+    device_out: dict | None = None,
 ):
     """Exact per-bin K nearest neighbours over other-chromosome bins.
 
@@ -272,6 +275,11 @@ def knn_search(
     exactness and re-run of collision-flagged rows; unspecified tie order)
     and "sort" elsewhere (bisect tie-order parity).  "partial" is the
     direct approx_max_k merge (exact values, unspecified tie order).
+
+    ``n_pad`` / ``row_pad`` (planned compile-stable paddings, see
+    utils/warmup.py) and ``device_out`` (device-resident index output for
+    the null-ratio stage) apply to the Pallas path only and are ignored by
+    the XLA merge paths.
     """
     if merge_method is None:
         merge_method = (
@@ -287,6 +295,9 @@ def knn_search(
             masked_bins_per_chr,
             ref_size=ref_size,
             row_range=row_range,
+            n_pad=n_pad,
+            row_pad=row_pad,
+            _device_out=device_out,
         )
     n_buckets = buckets if buckets is not None else _BUCKETS
     if merge_method == "bucket" and col_tile % n_buckets:
@@ -407,6 +418,95 @@ def _null_ratio_kernel(sub, idx_block, own_block):
     gathered = sub[idx_block]  # [c, k, chosen]
     medians = jnp.median(gathered, axis=1)
     return jnp.log2(own_block / medians)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _null_ratio_chunk_dev(sub_pad, idx_pad, offset, n, *, chunk: int):
+    """One row chunk of the all-device null table.
+
+    ``offset`` and ``n`` are traced scalars, so every chunk of a pass —
+    and the same pass before/after the PCA-distance filter — shares one
+    compiled program.  ``idx % n`` reproduces the reference's numpy -1
+    wraparound (SURVEY.md 2.12).
+    """
+    idx = jax.lax.dynamic_slice_in_dim(idx_pad, offset, chunk, axis=0) % n
+    own = jax.lax.dynamic_slice_in_dim(sub_pad, offset, chunk, axis=0)
+    gathered = sub_pad[idx]  # [chunk, k, chosen]
+    medians = jnp.median(gathered, axis=1)
+    return jnp.log2(own / medians)
+
+
+def compute_null_ratios_device(
+    data_dev,
+    indexes_dev,
+    sample_ids: np.ndarray,
+    placeholder_rows: int = 0,
+    rows_pad: int | None = None,
+    fetch: bool = True,
+):
+    """Null log2 ratios with data AND indexes resident on device.
+
+    The host-array path (:func:`compute_null_ratios`) re-uploads the
+    [rows, k] index table (~230 MB at production scale) over the tunneled
+    host link; here the table is the device output of
+    :func:`wisecondorx_tpu.ops.knn_pallas.knn_search_pallas` and only the
+    [rows, chosen] result ever crosses the link.
+
+    ``placeholder_rows`` prepends that many zero-index rows (the gonosomal
+    passes' autosome placeholders, reference newref_tools.py:186-191).
+    ``rows_pad`` optionally pins the padded row count so a pre-warmed
+    compile survives the PCA-distance filter changing the row count.
+    With ``fetch=False`` the chunk results are returned as a list of
+    device arrays (warm-up / overlap use).
+    """
+    n = int(data_dev.shape[0])
+    ids = jnp.asarray(np.asarray(sample_ids, dtype=np.int32))
+    chosen = int(ids.shape[0])
+    k = int(indexes_dev.shape[1])
+    sub = jnp.take(data_dev, ids, axis=1)  # [n, chosen]
+    if placeholder_rows:
+        indexes_dev = jnp.concatenate(
+            [jnp.zeros((placeholder_rows, k), jnp.int32), indexes_dev]
+        )
+    n_rows = int(indexes_dev.shape[0])
+
+    chunk = max(256, int(2**28 // (k * max(chosen, 1) * 4)))
+    chunk = -(-chunk // 256) * 256
+    pad_min = -(-n_rows // chunk) * chunk
+    if rows_pad is None:
+        rows_pad = pad_min
+    elif rows_pad < pad_min or rows_pad % chunk:
+        raise ValueError(
+            f"rows_pad ({rows_pad}) must be a multiple of {chunk} and "
+            f">= {pad_min}"
+        )
+    idx_pad = jnp.pad(indexes_dev, ((0, rows_pad - n_rows), (0, 0)))
+    # Pad rows carry 1.0 so the (discarded) tail never divides by zero.
+    sub_pad = jnp.pad(
+        sub, ((0, rows_pad - n), (0, 0)), constant_values=1.0
+    )
+
+    n_j = jnp.int32(n)
+    pending = [
+        _null_ratio_chunk_dev(
+            sub_pad, idx_pad, jnp.int32(s), n_j, chunk=chunk
+        )
+        for s in range(0, rows_pad, chunk)
+    ]
+    if not fetch:
+        return pending
+    out = np.empty((n_rows, chosen), dtype=np.dtype(str(sub.dtype)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        parts = list(pool.map(lambda a: np.asarray(a), pending))
+    for i, part in enumerate(parts):
+        s = i * chunk
+        if s >= n_rows:
+            break
+        e = min(s + chunk, n_rows)
+        out[s:e] = part[: e - s]
+    return out
 
 
 def compute_null_ratios(

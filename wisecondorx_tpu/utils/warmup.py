@@ -1,0 +1,149 @@
+"""Cold-process compile warm-up.
+
+The axon TPU path compiles remotely (AOT over HTTP) and its PJRT plugin
+cannot serialize executables back, so JAX's persistent compilation cache
+never stores entries (ROADMAP.md): every fresh process pays the full
+compile tax again — ~20 s for the fused Pallas KNN program, several
+seconds each for the finalizer, PCA, and null-ratio programs.  That tax
+does not have to sit on the critical path: all program shapes are known
+the moment the cohort's bin/sample counts are, which is long before the
+hot path runs (input npz parsing, mask building, and — in the benchmark —
+the reference-baseline timing all happen first).
+
+:func:`start_warmup` spawns a daemon thread that runs the production hot
+path once on a synthetic device-generated cohort of *identical shapes*:
+every jitted/Pallas program the real pass will request is thereby compiled
+and cached in-process while the host does input work.  Results are never
+fetched (``_warm_only``), the synthetic cohort generates on device (no
+host link traffic), and a planted duplicate-row collision exercises the
+exact-rerun path so its programs compile too.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import threading
+import time
+
+import numpy as np
+
+
+def _filler(n: int, s: int):
+    """Deterministic pseudo-random device cohort in [1, 2) — a Knuth
+    multiplicative hash over iota; generic enough that distances are
+    distinct (no accidental bucket-overflow storms), no host upload."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n", "s"))
+    def gen(*, n: int, s: int):
+        i = jnp.arange(n * s, dtype=jnp.uint32).reshape(n, s)
+        h = (i * jnp.uint32(2654435761)) ^ (i >> 7)
+        return 1.0 + (h % jnp.uint32(65521)).astype(jnp.float32) / 65521.0
+
+    return gen(n=n, s=s)
+
+
+def _layout(n: int, n_chr: int):
+    """Synthetic near-equal chromosome split — only the table SHAPES enter
+    the compiled-program keys, not their contents."""
+    base = n // n_chr
+    sizes = np.full(n_chr, base, dtype=np.int64)
+    sizes[: n - base * n_chr] += 1
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    chr_of = np.repeat(np.arange(n_chr, dtype=np.int32), sizes)
+    return chr_of, starts, sizes
+
+
+def warm_newref_pass(
+    n_bins: int,
+    n_samples: int,
+    *,
+    ref_size: int = 300,
+    n_chr: int = 22,
+    gonosome_rows: int | None = None,
+    n_chosen: int | None = None,
+    n_pad: int | None = None,
+    rows_pad: int | None = None,
+    pca: bool = True,
+) -> None:
+    """Compile every program of one newref pass's hot path (synchronous).
+
+    ``gonosome_rows`` switches to the F/M-pass shape (only the last
+    ``gonosome_rows`` target rows searched, autosome placeholder rows in
+    the null table).  ``n_pad`` / ``rows_pad`` pin the planned paddings —
+    pass the same values to the real calls so the warmed programs are the
+    ones used.
+    """
+    import jax.numpy as jnp
+
+    from wisecondorx_tpu.ops.knn import compute_null_ratios_device
+    from wisecondorx_tpu.ops.knn_pallas import DEPTH, LANES, knn_search_pallas
+    from wisecondorx_tpu.ops.pca import train_pca
+
+    if n_chosen is None:
+        n_chosen = min(100, n_samples)
+    chr_of, starts, sizes = _layout(n_bins, n_chr)
+    data = _filler(n_bins, n_samples)
+
+    r0 = 0 if gonosome_rows is None else n_bins - gonosome_rows
+    row_range = None if gonosome_rows is None else (r0, n_bins)
+
+    # Plant DEPTH+2 duplicates of the first searched row in its residue
+    # class mod LANES on other chromosomes: the bucket provably overflows,
+    # the drop certificate flags the row, and the exact-rerun programs
+    # compile (capped to one tile by _warm_only).
+    cand = np.arange(r0 % LANES, n_bins, LANES)
+    cand = cand[(cand != r0) & (chr_of[cand] != chr_of[r0])][: DEPTH + 2]
+    if cand.size:
+        data = data.at[jnp.asarray(cand.astype(np.int32))].set(data[r0])
+
+    if pca:
+        train_pca(data, return_device=True)
+
+    dev_out: dict = {}
+    knn_search_pallas(
+        data, chr_of, starts, sizes,
+        ref_size=ref_size, row_range=row_range, n_pad=n_pad,
+        _warm_only=True, _device_out=dev_out,
+    )
+    if "indexes" in dev_out:
+        compute_null_ratios_device(
+            data, dev_out["indexes"], np.arange(n_chosen),
+            placeholder_rows=r0, rows_pad=rows_pad, fetch=False,
+        )
+
+
+def start_warmup(passes: list[dict], enabled: bool | None = None):
+    """Warm the given pass shapes on a daemon thread; returns an Event.
+
+    ``passes`` is a list of :func:`warm_newref_pass` kwargs dicts.  On
+    non-TPU backends (the CPU parity/test path compiles in milliseconds)
+    this is a no-op unless ``enabled`` forces it.
+    """
+    import jax
+
+    done = threading.Event()
+    if enabled is None:
+        enabled = jax.default_backend() == "tpu"
+    if not enabled or not passes:
+        done.set()
+        return done
+
+    def run():
+        t0 = time.perf_counter()
+        for kw in passes:
+            try:
+                warm_newref_pass(**kw)
+            except Exception as e:  # warm-up is best-effort by design
+                logging.warning("compile warm-up failed: %s", e)
+        logging.info(
+            "compile warm-up done in %.1fs (%d pass shapes)",
+            time.perf_counter() - t0,
+            len(passes),
+        )
+        done.set()
+
+    threading.Thread(target=run, name="wcx-warmup", daemon=True).start()
+    return done
