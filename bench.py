@@ -78,7 +78,7 @@ def main():
     # the reference baseline.  A production newref overlaps these compiles
     # with input npz parsing the same way (models/reference.py); the axon
     # persistent cache cannot help (ROADMAP.md), overlap can.
-    from wisecondorx_tpu.utils.warmup import start_warmup
+    from wisecondorx_tpu.utils.warmup import start_cbs_warmup, start_warmup
 
     warm_compiles = start_warmup(
         [
@@ -89,6 +89,12 @@ def main():
                 n_chr=len(ml.masked_bins_per_chr),
             )
         ]
+    )
+    # Chained behind the newref warm-up: concurrent warms contend on the
+    # GIL (tracing) and the tunnel (compile RPCs) and slow the measured
+    # hot path by ~9 s.
+    warm_cbs = start_cbs_warmup(
+        int(ml.masked_bins_per_chr[0]), after=warm_compiles
     )
 
     depth = rng.lognormal(0.0, 0.03, size=(n, 1))
@@ -200,6 +206,9 @@ def main():
         # dropped immediately, so only chr1 costs time.
         results_r = [log_r] + [np.zeros(8)] * 22
         results_w = [weights] + [np.ones(8)] * 22
+        tcw = time.perf_counter()
+        warm_cbs.wait(timeout=900)
+        log(f"cbs warm-up drained ({time.perf_counter() - tcw:.2f}s residual)")
         tc = time.perf_counter()
         rows = exec_cbs(
             results_r, results_w, "F", int(binsize),

@@ -342,6 +342,17 @@ def predict(
 
     Returns (BinResults, results_c rows [chr0, s, e, segment_z, ratio]).
     """
+    # CBS program shapes depend only on chromosome sizes: warm their
+    # compiles on threads while normalization runs (the axon TPU path
+    # cannot cache executables across processes, ROADMAP.md).
+    from wisecondorx_tpu.ops.cbs import CBSConfig
+    from wisecondorx_tpu.utils.warmup import start_cbs_warmup
+
+    a_pass = ref_passes.get("A") or next(iter(ref_passes.values()))
+    start_cbs_warmup(
+        int(np.max(a_pass["bins_per_chr"])),
+        CBSConfig(alpha=cfg.alpha, seed=cfg.seed if cfg.seed is not None else 0),
+    )
     bins = predict_bins(sample, sample_binsize, ref_passes, ref_meta, cfg)
     segments = segment_bins(bins, cfg)
     return bins, segments

@@ -76,6 +76,12 @@ class CBSConfig:
     #: "hybrid" (DNAcopy-style: permutation over short arcs <= kmax plus a
     #: Siegmund-type analytic tail bound for the long arcs).
     p_method: str = "perm"
+    #: Deterministic mode: accept a split iff the observed max |T| >= this
+    #: value, skipping the permutation test entirely.  Makes segmentation
+    #: a pure function of the data (reproducible across machines and RNGs,
+    #: and fast); also the hook the differential test oracle uses
+    #: (tests/cbs_oracle.py).
+    t_threshold: float | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +154,8 @@ def _observed_stat(x, w, n, lengths, min_width: int):
     return _tstat_scan(cw, cwx, n, lengths, min_width)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_pad", "batch"))
-def _device_perms(key, *, n: int, n_pad: int, batch: int):
+@functools.partial(jax.jit, static_argnames=("n_pad", "batch"))
+def _device_perms(key, n, *, n_pad: int, batch: int):
     """[batch, n_pad] random permutations of the first ``n`` slots
     (identity on the padding), generated on device.
 
@@ -331,6 +337,11 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
     if not np.isfinite(obs_f) or obs_f <= 0:
         return False, 0, 0
 
+    if cfg.t_threshold is not None:
+        if obs_f < cfg.t_threshold:
+            return False, 0, 0
+        return _locate_split(xj, wj, n, n_pad, cfg)
+
     perm_lengths = lengths
     alpha_budget = cfg.alpha
     if cfg.p_method == "hybrid" and n > cfg.exact_max:
@@ -367,7 +378,7 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
         if on_tpu:
             key, sub = jax.random.split(key)
             order = _device_perms(
-                sub, n=n, n_pad=n_pad, batch=cfg.perm_batch
+                sub, jnp.int32(n), n_pad=n_pad, batch=cfg.perm_batch
             )
         else:
             order = base.copy()
@@ -383,7 +394,11 @@ def _test_split(x, w, cfg: CBSConfig, rng: np.random.Generator):
 
     if exceed >= max_ones:
         return False, 0, 0
-    # p <= alpha: locate the breakpoint with the exact all-lengths scan.
+    return _locate_split(xj, wj, n, n_pad, cfg)
+
+
+def _locate_split(xj, wj, n, n_pad, cfg):
+    """Locate an accepted split with the exact all-lengths scan."""
     all_lengths = jnp.arange(n_pad, dtype=jnp.int32)
     _, i_star, l_star = _observed_stat(
         xj, wj, jnp.int32(n), all_lengths, cfg.min_width

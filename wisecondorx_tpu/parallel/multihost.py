@@ -36,7 +36,11 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     Returns (process_index, process_count); (0, 1) when single-process.
     """
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if coord:
+        # NOTE: jax.distributed.initialize must run before ANY backend
+        # touch — even jax.process_count() initializes XLA, so no guard
+        # query can precede this call.  Double-initialization raises a
+        # RuntimeError, which is the "already set up" signal.
         try:
             jax.distributed.initialize(
                 coordinator_address=coord,
@@ -48,7 +52,9 @@ def maybe_initialize_distributed() -> tuple[int, int]:
                 jax.process_index(),
                 jax.process_count(),
             )
-        except Exception as e:  # pragma: no cover - needs a real pod
+        except RuntimeError as e:
+            logging.debug("jax.distributed already initialized: %s", e)
+        except Exception as e:
             logging.warning("jax.distributed initialization failed: %s", e)
     return jax.process_index(), jax.process_count()
 

@@ -115,6 +115,119 @@ def warm_newref_pass(
         )
 
 
+def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
+    """Compile one CBS segment-size bucket's programs (synchronous).
+
+    The segmentation recursion visits segments of arbitrary length; sizes
+    are padded to power-of-two buckets, so per bucket exactly four
+    programs exist: observed statistic over the test arc family, the
+    bitonic device permutation generator, the permutation exceedance
+    count, and the exact-location all-lengths scan.  ``n`` is traced
+    everywhere, so one representative size compiles the whole bucket.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from wisecondorx_tpu.ops import cbs as cbs_ops
+
+    if cfg is None:
+        cfg = cbs_ops.CBSConfig()
+    n = n_pad  # representative size; any n in (n_pad/2, n_pad] shares keys
+    # Same dtype route as _test_split: float64 host arrays, downcast by
+    # the x64 setting on transfer.
+    xj = jnp.asarray(np.zeros(n_pad, dtype=np.float64))
+    wj = jnp.asarray(np.ones(n_pad, dtype=np.float64))
+    nj = jnp.int32(n)
+    lengths = jnp.asarray(cbs_ops._arc_lengths(n, cfg))
+    obs, _, _ = cbs_ops._observed_stat(xj, wj, nj, lengths, cfg.min_width)
+    key = jax.random.PRNGKey(0)
+    order = cbs_ops._device_perms(
+        key, nj, n_pad=n_pad, batch=cfg.perm_batch
+    )
+    cbs_ops._perm_exceed_count(
+        xj, wj, nj, lengths, obs, order, cfg.min_width
+    )
+    if cfg.p_method == "hybrid" and n > cfg.exact_max:
+        short = jnp.asarray(cbs_ops._arc_lengths(n, cfg, short_only=True))
+        cbs_ops._perm_exceed_count(
+            xj, wj, nj, short, obs, order, cfg.min_width
+        )
+    # Exact breakpoint-location scan (runs once per accepted split).
+    cbs_ops._observed_stat(
+        xj, wj, nj, jnp.arange(n_pad, dtype=jnp.int32), cfg.min_width
+    )
+
+
+def start_cbs_warmup(
+    n_max: int,
+    cfg=None,
+    enabled: bool | None = None,
+    threads: int = 3,
+    after: "threading.Event | None" = None,
+):
+    """Warm every CBS bucket <= bucket(n_max) on daemon threads.
+
+    Buckets warm largest-first (the recursion tests the whole chromosome
+    before its pieces) and concurrently — the axon compile service accepts
+    parallel requests.  ``after`` (optional Event) delays the start until
+    another warm-up finishes: tracing the 100+-stage bitonic networks is
+    GIL-heavy and competing compile RPCs share the tunnel, so running two
+    warm-ups concurrently slows both (measured: +9 s on the newref hot
+    path).  Returns an Event.
+    """
+    import jax
+
+    done = threading.Event()
+    if enabled is None:
+        enabled = jax.default_backend() == "tpu"
+    if not enabled or n_max < 4:
+        done.set()
+        return done
+
+    from wisecondorx_tpu.ops.cbs import _bucket
+
+    buckets = []
+    p = _bucket(n_max)
+    while p >= 8:
+        buckets.append(p)
+        p //= 2
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run():
+        if after is not None:
+            after.wait(timeout=1800)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for p, err in zip(
+                buckets,
+                pool.map(
+                    lambda b: _try(warm_cbs_bucket, b, cfg), buckets
+                ),
+            ):
+                if err is not None:
+                    logging.warning(
+                        "CBS warm-up bucket %d failed: %s", p, err
+                    )
+        logging.info(
+            "CBS compile warm-up done in %.1fs (%d buckets)",
+            time.perf_counter() - t0,
+            len(buckets),
+        )
+        done.set()
+
+    threading.Thread(target=run, name="wcx-cbs-warmup", daemon=True).start()
+    return done
+
+
+def _try(fn, *a):
+    try:
+        fn(*a)
+        return None
+    except Exception as e:  # best-effort
+        return e
+
+
 def start_warmup(passes: list[dict], enabled: bool | None = None):
     """Warm the given pass shapes on a daemon thread; returns an Event.
 
