@@ -79,6 +79,50 @@ def test_cli_predict_requires_output_format(workdir):
         cli_main(["predict", test_path, ref_path, str(tmp / "x")])
 
 
+def test_cli_user_errors_exit_cleanly(workdir, caplog):
+    """Every user-input failure ends in logging.critical + SystemExit —
+    never a raw traceback (reference overall_tools.py:26-39,
+    main.py:99-102)."""
+    tmp, infiles, test_path = workdir
+    ref_path = str(tmp / "reference.npz")
+
+    # Impossible binsize rescale: reference binsize (100k) is not a
+    # multiple of the requested newref binsize.
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["newref", *infiles, str(tmp / "r2.npz"), "--binsize", "150000"]
+        )
+    assert any(
+        r.levelname == "CRITICAL" and "binsize" in r.message.lower()
+        for r in caplog.records
+    )
+    caplog.clear()
+
+    # Missing input file.
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["predict", str(tmp / "nope.npz"), ref_path, str(tmp / "x"),
+             "--bed"]
+        )
+    assert any(r.levelname == "CRITICAL" for r in caplog.records)
+    caplog.clear()
+
+    # Not an npz at all.
+    junk = tmp / "junk.npz"
+    junk.write_bytes(b"this is not a zip file")
+    with pytest.raises(SystemExit):
+        cli_main(["predict", str(junk), ref_path, str(tmp / "x"), "--bed"])
+    assert any(r.levelname == "CRITICAL" for r in caplog.records)
+    caplog.clear()
+
+    # Malformed convert input (bad BAM magic).
+    bad = tmp / "bad.bam"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(SystemExit):
+        cli_main(["convert", str(bad), str(tmp / "bad_out.npz")])
+    assert any(r.levelname == "CRITICAL" for r in caplog.records)
+
+
 def test_cli_predict_batch(workdir):
     """predict-batch scores several samples in one invocation (sharded
     over the 8 virtual devices); per-sample outputs match the

@@ -113,39 +113,10 @@ def test_bucket_collision_flag_and_rerun():
     )
 
 
-def test_xla_bucket_collision_flag_and_rerun():
-    """Same fixture through the XLA "bucket" merge path (the non-Pallas
-    TPU fallback): the count-verification must flag the collision row and
-    the re-run must recover it (VERDICT round-1 weakness #3)."""
-    rng = np.random.default_rng(3)
-    bins_per_chr = [400, 350, 274]
-    starts, chr_of_bin = _layout(bins_per_chr)
-    n = int(sum(bins_per_chr))
-    data = rng.integers(0, 8, size=(n, 16)).astype(np.float64)
-    target = 5
-    clones = list(range(405, n, 16))  # all = 5 mod 16
-    for c in clones:
-        data[c] = data[target]
-
-    idx_s, dist_s = _sort_oracle(data, chr_of_bin, starts, bins_per_chr, 20)
-    idx_b, dist_b = knn_ops.knn_search(
-        data, chr_of_bin, starts, bins_per_chr, ref_size=20,
-        col_tile=128, merge_method="bucket", buckets=16, levels=2,
-    )
-    # 39 clones > 20 slots: every kept neighbour must be a zero-distance
-    # clone; with 8 same-residue clones per 128-column block and bucket
-    # depth 2, the bucket reduce provably drops some, so this passes only
-    # if the count-verification re-run fired.
-    assert (dist_b[target] == 0).sum() == 20
-    np.testing.assert_allclose(
-        np.sort(dist_b, axis=1), np.sort(dist_s, axis=1), rtol=1e-12
-    )
-
-
-@pytest.mark.parametrize("merge_method", ["partial", "bucket"])
-def test_xla_merge_methods_match_sort(merge_method):
-    """The TPU-oriented XLA merge paths must equal "sort" on tie-free data
-    (VERDICT round-1 weakness #3: these defaults were never exercised)."""
+def test_xla_partial_merge_matches_sort():
+    """The XLA "partial" (approx_max_k) merge must equal "sort" on
+    tie-free data — it is the fast-compiling exact fallback when the
+    Pallas path is unavailable."""
     rng = np.random.default_rng(11)
     bins_per_chr = [300, 250, 200]
     starts, chr_of_bin = _layout(bins_per_chr)
@@ -155,7 +126,7 @@ def test_xla_merge_methods_match_sort(merge_method):
     idx_s, dist_s = _sort_oracle(data, chr_of_bin, starts, bins_per_chr, 25)
     idx_m, dist_m = knn_ops.knn_search(
         data, chr_of_bin, starts, bins_per_chr, ref_size=25,
-        col_tile=128, merge_method=merge_method, buckets=32, levels=4,
+        col_tile=128, merge_method="partial",
     )
     np.testing.assert_allclose(
         np.sort(dist_m, axis=1), np.sort(dist_s, axis=1), rtol=1e-12
@@ -333,9 +304,26 @@ def test_null_ratios_device_matches_host():
 
 
 def test_warmup_runs_on_cpu_interpreter():
-    """The warm-up driver compiles/dispatches the full hot path; forced on
-    (CPU) it must complete without error and leave no visible state."""
+    """The warm-up driver actually runs the full _warm_only hot path
+    (synthetic device cohort -> PCA -> Pallas dispatch incl. the planted
+    collision's exact re-run -> device null-ratio programs), forced on
+    through the Pallas interpreter, so the warm branches have coverage."""
     from wisecondorx_tpu.utils import warmup
 
-    done = warmup.start_warmup([], enabled=False)
-    assert done.wait(1)
+    # Synchronous (raises on error, unlike the best-effort thread): the
+    # autosomal shape with the device null-ratio warm...
+    warmup.warm_newref_pass(
+        256, 8, ref_size=10, n_chr=3, interpret=True
+    )
+    # ...and a gonosomal shape without it (the checkpointed-build plan).
+    warmup.warm_newref_pass(
+        256, 8, ref_size=10, n_chr=3, gonosome_rows=60,
+        null_warm=False, interpret=True,
+    )
+    # The threaded driver path.
+    done = warmup.start_warmup(
+        [dict(n_bins=256, n_samples=8, ref_size=10, n_chr=3,
+              interpret=True)],
+        enabled=True,
+    )
+    assert done.wait(300)

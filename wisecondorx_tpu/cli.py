@@ -416,7 +416,28 @@ def main(argv=None):
     if not hasattr(args, "func"):
         parser.print_help()
         sys.exit(1)
-    args.func(args)
+    # Every user-input failure in any subcommand becomes a one-line
+    # critical log + exit, matching the reference's handling (reference
+    # overall_tools.py:26-39, main.py:99-102) — no raw tracebacks for bad
+    # files, impossible binsize rescales, or missing inputs.
+    import pickle
+    import zipfile
+
+    from wisecondorx_tpu.errors import UserInputError
+
+    try:
+        args.func(args)
+    except UserInputError as e:
+        logging.critical(str(e))
+        sys.exit(1)
+    except FileNotFoundError as e:
+        logging.critical("Input file not found: %s", e.filename or e)
+        sys.exit(1)
+    except (zipfile.BadZipFile, pickle.UnpicklingError) as e:
+        # np.load signals non-npz content either way depending on the
+        # corruption mode.
+        logging.critical("Not a valid .npz file: %s", e)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

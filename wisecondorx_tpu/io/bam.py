@@ -30,7 +30,10 @@ from pathlib import Path
 import numpy as np
 
 
-class ConvertError(RuntimeError):
+from wisecondorx_tpu.errors import UserInputError
+
+
+class ConvertError(RuntimeError, UserInputError):
     pass
 
 

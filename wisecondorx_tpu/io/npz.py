@@ -25,7 +25,10 @@ import logging
 import numpy as np
 
 
-class BinScalingError(ValueError):
+from wisecondorx_tpu.errors import UserInputError
+
+
+class BinScalingError(ValueError, UserInputError):
     """Raised on an impossible binsize rescale request."""
 
 

@@ -23,7 +23,10 @@ from wisecondorx_tpu.ops.gmm import predict_gender
 from wisecondorx_tpu.utils.log import stage_timer
 
 
-class PredictError(RuntimeError):
+from wisecondorx_tpu.errors import UserInputError
+
+
+class PredictError(RuntimeError, UserInputError):
     pass
 
 

@@ -46,7 +46,10 @@ from wisecondorx_tpu.utils.checkpoint import NewrefCheckpoint, fingerprint
 from wisecondorx_tpu.utils.log import stage_timer
 
 
-class NewrefError(RuntimeError):
+from wisecondorx_tpu.errors import UserInputError
+
+
+class NewrefError(RuntimeError, UserInputError):
     """Raised when a reference cannot be built (e.g. too few samples)."""
 
 
@@ -197,13 +200,22 @@ def build_reference(
         n_est = int(pm_g.sum())
         if n_est < 1024:
             continue  # tiny cohorts: compiles are cheap, skip planning
+        n_chosen = min(100, int(cols.sum()))
         entry: dict = {"n_pad": _round_up_pad(n_est, 1024)}
         gono = None
         if gender != "A":
             ml_est = MaskedLayout(tl_g, pm_g.copy())
             gono = n_est - int(ml_est.masked_chr_starts[22])
             entry["row_pad"] = _round_up_pad(max(gono, 1), 256)
+        # rows_pad pins the null-ratio program shape: planned from the
+        # pre-filter row estimate so the warmed compile survives the
+        # PCA-distance filter dropping bins across a chunk boundary.
+        entry["rows_pad"] = _round_up_pad(
+            n_est, knn_ops.null_ratio_chunk(cfg.refsize, n_chosen)
+        )
         pads[gender] = entry
+        if ckpt.exists(f"pass_{gender}"):
+            continue  # will restore, never executes — skip the warm
         warm_list.append(
             dict(
                 n_bins=n_est,
@@ -212,6 +224,12 @@ def build_reference(
                 n_chr=LAST_CHR[gender],
                 gonosome_rows=gono,
                 n_pad=entry["n_pad"],
+                n_chosen=n_chosen,
+                # Checkpointed builds search in row chunks and take the
+                # host-table null path, so the device null-ratio warm
+                # would compile a program that never runs.
+                rows_pad=None if ckpt.enabled else entry["rows_pad"],
+                null_warm=not ckpt.enabled,
             )
         )
     from wisecondorx_tpu.utils.warmup import start_warmup
@@ -415,7 +433,8 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
     chosen = np.asarray(null_chooser(gender, corrected.shape[1]))
     if dev_out is not None and "indexes" in dev_out:
         null_ratios = knn_ops.compute_null_ratios_device(
-            corrected, dev_out["indexes"], chosen, placeholder_rows=r0
+            corrected, dev_out["indexes"], chosen, placeholder_rows=r0,
+            rows_pad=(pads or {}).get("rows_pad"),
         )
     else:
         null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)

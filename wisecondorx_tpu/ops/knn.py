@@ -26,7 +26,6 @@ report index -1 / distance 1e10 (the reference's initial list contents).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -37,21 +36,10 @@ from wisecondorx_tpu.ops.common import MATMUL_PRECISION
 #: The reference's initial "infinite" distance (newref_tools.py:262,267).
 SENTINEL_DISTANCE = 1e10
 
-#: Bucketed-reduce geometry for merge_method="bucket": each column block is
-#: reduced to the LEVELS smallest candidates per strided bucket
-#: (column c -> bucket c mod BUCKETS) before the top-k merge.  With the
-#: default 128 x 4 = 512 cells/block, losing a true top-300 member requires
-#: > 4 of a row's winners to share one bucket — vanishingly rare on real
-#: cohorts and always caught by the count-verification pass.
-_BUCKETS = int(os.environ.get("WCX_KNN_BUCKETS", 128))
-_LEVELS = int(os.environ.get("WCX_KNN_LEVELS", 4))
-#: Row-tile size for the exact re-run of verification-flagged rows.
-_FLAG_TILE = 1024
-
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ref_size", "col_tile", "merge_method", "buckets", "levels"),
+    static_argnames=("ref_size", "col_tile", "merge_method"),
 )
 def _knn_kernel(
     rows,  # [R, S] target-bin vectors
@@ -64,8 +52,6 @@ def _knn_kernel(
     ref_size: int,
     col_tile: int,
     merge_method: str = "sort",
-    buckets: int | None = None,
-    levels: int | None = None,
 ):
     dtype = rows.dtype
     R = rows.shape[0]
@@ -109,41 +95,6 @@ def _knn_kernel(
         excl = g - jnp.where(g >= row_start[:, None], row_size[:, None], 0)
         excl = excl.astype(jnp.int32)
 
-        if merge_method == "bucket":
-            # Two-stage reduce: XLA fuses plain min-reduces into the matmul,
-            # so the [R, C] distance block lives only in registers/VMEM and
-            # never round-trips through HBM (the cost that dominates the
-            # direct top-k merge).  Stage 1 keeps the M smallest per strided
-            # bucket (column c -> bucket c mod L), stage 2 top-ks the
-            # 300 + M*L survivors.  Collisions (> M of a row's true top-k in
-            # one bucket) are caught by the caller's count-verification pass
-            # and re-run exactly.
-            L = buckets if buckets is not None else _BUCKETS
-            M = levels if levels is not None else _LEVELS
-            G = d.shape[1] // L
-            d3 = d.reshape(R, G, L)
-            e3 = excl.reshape(R, G, L)
-            big = jnp.asarray(jnp.inf, dtype)
-            gi = jax.lax.broadcasted_iota(jnp.int32, (R, G, L), 1)
-            vs, ix = [], []
-            cur = d3
-            for _ in range(M):
-                v = jnp.min(cur, axis=1)  # [R, L]
-                hit = cur == v[:, None, :]
-                g_sel = jnp.min(
-                    jnp.where(hit, gi, jnp.int32(2**30)), axis=1
-                )
-                # excl is monotone in column, so min-over-first-match picks
-                # the same candidate as g_sel (no gather needed).
-                i = jnp.min(
-                    jnp.where(hit, e3, jnp.int32(2**30)), axis=1
-                )
-                cur = jnp.where(gi == g_sel[:, None, :], big, cur)
-                vs.append(v)
-                ix.append(jnp.where(jnp.isinf(v), -1, i))
-            d = jnp.concatenate(vs, axis=1)  # [R, M*L]
-            excl = jnp.concatenate(ix, axis=1)
-
         merged_vals = jnp.concatenate([run_vals, d], axis=1)
         merged_idx = jnp.concatenate([run_idx, excl], axis=1)
         # Top-k of the smallest distances.  "sort" (lax.top_k) is stable —
@@ -153,7 +104,7 @@ def _knn_kernel(
         # returns the exact value set with unspecified tie order and
         # compiles ~100x faster; tie order only matters for degenerate
         # equal-distance candidates at the k-boundary.
-        if merge_method in ("partial", "bucket"):
+        if merge_method == "partial":
             neg_top, arg = jax.lax.approx_max_k(
                 -merged_vals, ref_size, recall_target=1.0
             )
@@ -179,59 +130,6 @@ def _knn_kernel(
     return indexes, distances
 
 
-@functools.partial(jax.jit, static_argnames=("col_tile",))
-def _count_below_kernel(
-    rows, data, row_chr, col_chr, tau, n_valid, col_tile: int
-):
-    """Per target row: how many valid candidates have distance < tau.
-
-    Validity matches ``_knn_kernel`` exactly (other chromosome, unpadded,
-    distance below the reference's 1e10 sentinel), and the distance block is
-    consumed by a fused sum-reduce so it never materializes in HBM.
-    """
-    dtype = rows.dtype
-    n_blocks = data.shape[0] // col_tile
-    row_norms = jnp.sum(rows * rows, axis=1)
-    col_norms = jnp.sum(data * data, axis=1)
-    data_blocks = data.reshape(n_blocks, col_tile, -1)
-    norm_blocks = col_norms.reshape(n_blocks, col_tile)
-    chr_blocks = col_chr.reshape(n_blocks, col_tile)
-
-    def body(cnt, block):
-        blk_data, blk_norms, blk_chr, blk_id = block
-        g = blk_id * col_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, col_tile), 1
-        )
-        d = (
-            row_norms[:, None]
-            + blk_norms[None, :]
-            - 2.0
-            * jnp.dot(rows, blk_data.T, preferred_element_type=dtype,
-                      precision=MATMUL_PRECISION)
-        )
-        valid = (
-            (row_chr[:, None] != blk_chr[None, :])
-            & (g < n_valid)
-            & (d < SENTINEL_DISTANCE)
-        )
-        cnt = cnt + jnp.sum(
-            valid & (d < tau[:, None]), axis=1, dtype=jnp.int32
-        )
-        return cnt, None
-
-    cnt, _ = jax.lax.scan(
-        body,
-        jnp.zeros(rows.shape[0], jnp.int32),
-        (
-            data_blocks,
-            norm_blocks,
-            chr_blocks,
-            jnp.arange(n_blocks, dtype=jnp.int32),
-        ),
-    )
-    return cnt
-
-
 def _pad_cols(data, col_tile):
     n = data.shape[0]
     n_pad = -(-n // col_tile) * col_tile
@@ -251,8 +149,6 @@ def knn_search(
     col_tile: int = 1024,
     row_tile: int | None = None,
     merge_method: str | None = None,
-    buckets: int | None = None,
-    levels: int | None = None,
     n_pad: int | None = None,
     row_pad: int | None = None,
     device_out: dict | None = None,
@@ -270,11 +166,10 @@ def knn_search(
     Returns (indexes int32[rows, ref_size], distances [rows, ref_size]) with
     indexes in own-chromosome-excluded space.
 
-    ``merge_method``: None selects "bucket" on TPU (fused matmul+reduce —
-    the distance block never materializes in HBM — with count-verified
-    exactness and re-run of collision-flagged rows; unspecified tie order)
-    and "sort" elsewhere (bisect tie-order parity).  "partial" is the
-    direct approx_max_k merge (exact values, unspecified tie order).
+    ``merge_method``: None selects the fused Pallas kernel on TPU
+    (ops/knn_pallas.py — the production path) and "sort" elsewhere
+    (bisect tie-order parity).  "partial" is the direct approx_max_k
+    merge (exact values, unspecified tie order, fast TPU compiles).
 
     ``n_pad`` / ``row_pad`` (planned compile-stable paddings, see
     utils/warmup.py) and ``device_out`` (device-resident index output for
@@ -298,12 +193,6 @@ def knn_search(
             n_pad=n_pad,
             row_pad=row_pad,
             _device_out=device_out,
-        )
-    n_buckets = buckets if buckets is not None else _BUCKETS
-    if merge_method == "bucket" and col_tile % n_buckets:
-        raise ValueError(
-            f"col_tile ({col_tile}) must be a multiple of {n_buckets} "
-            "for merge_method='bucket'"
         )
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
@@ -340,76 +229,22 @@ def knn_search(
     # remaining tiles' compute instead of serializing with it.
     pending = []
     for s in range(0, rows_pad, row_tile):
-        idx, dist = _knn_kernel(
-            rows_j[s : s + row_tile],
-            data_j,
-            rows_chr_j[s : s + row_tile],
-            col_chr_j,
-            starts,
-            sizes,
-            jnp.int32(n),
-            ref_size=ref_size,
-            col_tile=col_tile,
-            merge_method=merge_method,
-            buckets=buckets,
-            levels=levels,
-        )
-        cnt = None
-        if merge_method == "bucket":
-            cnt = _count_below_kernel(
+        pending.append(
+            _knn_kernel(
                 rows_j[s : s + row_tile],
                 data_j,
                 rows_chr_j[s : s + row_tile],
                 col_chr_j,
-                jnp.max(dist, axis=1),
+                starts,
+                sizes,
                 jnp.int32(n),
+                ref_size=ref_size,
                 col_tile=col_tile,
+                merge_method=merge_method,
             )
-        pending.append((idx, dist, cnt))
-    out_idx = [np.asarray(idx) for idx, _, _ in pending]
-    out_dist = [np.asarray(dist) for _, dist, _ in pending]
-    indexes = np.concatenate(out_idx)[:n_rows]
-    distances = np.concatenate(out_dist)[:n_rows]
-
-    if merge_method == "bucket":
-        # Exactness verification: a row is flagged when valid candidates
-        # strictly below its current worst kept distance outnumber the kept
-        # ones strictly below it — i.e. a bucket collision dropped a true
-        # top-k member.  Flagged rows re-run through the direct exact path.
-        cnt = np.concatenate([np.asarray(c) for _, _, c in pending])[:n_rows]
-        tau = distances.max(axis=1)
-        sel_lt = (distances < tau[:, None]).sum(axis=1).astype(np.int32)
-        flagged = np.nonzero(cnt != sel_lt)[0]
-        if flagged.size:
-            for s in range(0, flagged.size, _FLAG_TILE):
-                rows_f = flagged[s : s + _FLAG_TILE]
-                pad_n = _FLAG_TILE - rows_f.size
-                frows = np.concatenate(
-                    [
-                        data_p[r0 + rows_f],
-                        np.zeros((pad_n, data_p.shape[1]), data_p.dtype),
-                    ]
-                )
-                fchr = np.concatenate(
-                    [
-                        col_chr[r0 + rows_f],
-                        np.full(pad_n, -2, np.int32),
-                    ]
-                )
-                fidx, fdist = _knn_kernel(
-                    jnp.asarray(frows),
-                    data_j,
-                    jnp.asarray(fchr),
-                    col_chr_j,
-                    starts,
-                    sizes,
-                    jnp.int32(n),
-                    ref_size=ref_size,
-                    col_tile=col_tile,
-                    merge_method="partial",
-                )
-                indexes[rows_f] = np.asarray(fidx)[: rows_f.size]
-                distances[rows_f] = np.asarray(fdist)[: rows_f.size]
+        )
+    indexes = np.concatenate([np.asarray(i) for i, _ in pending])[:n_rows]
+    distances = np.concatenate([np.asarray(d) for _, d in pending])[:n_rows]
     return indexes, distances
 
 
@@ -434,6 +269,14 @@ def _null_ratio_chunk_dev(sub_pad, idx_pad, offset, n, *, chunk: int):
     gathered = sub_pad[idx]  # [chunk, k, chosen]
     medians = jnp.median(gathered, axis=1)
     return jnp.log2(own / medians)
+
+
+def null_ratio_chunk(k: int, chosen: int) -> int:
+    """Row-chunk height of the device null-ratio programs — exposed so
+    callers can plan a compile-stable ``rows_pad`` (a multiple of this)
+    before the row count is final (utils/warmup.py)."""
+    chunk = max(256, int(2**28 // (k * max(chosen, 1) * 4)))
+    return -(-chunk // 256) * 256
 
 
 def compute_null_ratios_device(
@@ -470,8 +313,7 @@ def compute_null_ratios_device(
         )
     n_rows = int(indexes_dev.shape[0])
 
-    chunk = max(256, int(2**28 // (k * max(chosen, 1) * 4)))
-    chunk = -(-chunk // 256) * 256
+    chunk = null_ratio_chunk(k, chosen)
     pad_min = -(-n_rows // chunk) * chunk
     if rows_pad is None:
         rows_pad = pad_min

@@ -39,23 +39,39 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     if coord:
         # NOTE: jax.distributed.initialize must run before ANY backend
         # touch — even jax.process_count() initializes XLA, so no guard
-        # query can precede this call.  Double-initialization raises a
-        # RuntimeError, which is the "already set up" signal.
+        # query can precede this call.  Checking the distributed client
+        # state is safe (module state only, no backend init); anything
+        # else that goes wrong — including XlaRuntimeError, which
+        # subclasses RuntimeError (e.g. coordinator DEADLINE_EXCEEDED) —
+        # must surface as a WARNING, because the job then silently
+        # degrades to independent single-process runs.
+        already = False
         try:
-            jax.distributed.initialize(
-                coordinator_address=coord,
-                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                process_id=int(os.environ["JAX_PROCESS_ID"]),
-            )
-            logging.info(
-                "jax.distributed initialized: process %d of %d",
-                jax.process_index(),
-                jax.process_count(),
-            )
-        except RuntimeError as e:
-            logging.debug("jax.distributed already initialized: %s", e)
-        except Exception as e:
-            logging.warning("jax.distributed initialization failed: %s", e)
+            from jax._src import distributed as _dist
+
+            already = getattr(_dist.global_state, "client", None) is not None
+        except Exception:
+            pass
+        if already:
+            logging.debug("jax.distributed already initialized")
+        else:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coord,
+                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                    process_id=int(os.environ["JAX_PROCESS_ID"]),
+                )
+                logging.info(
+                    "jax.distributed initialized: process %d of %d",
+                    jax.process_index(),
+                    jax.process_count(),
+                )
+            except Exception as e:
+                logging.warning(
+                    "jax.distributed initialization failed (falling back "
+                    "to single-process: every host computes all rows): %s",
+                    e,
+                )
     return jax.process_index(), jax.process_count()
 
 

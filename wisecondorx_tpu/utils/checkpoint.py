@@ -84,6 +84,11 @@ class NewrefCheckpoint:
         np.savez(tmp, **arrays)
         os.replace(tmp, self._path(name))  # atomic: no torn artifacts
 
+    def exists(self, name: str) -> bool:
+        """Cheap presence check (no array parsing) — used to skip compile
+        warm-ups for stages that will restore instead of compute."""
+        return self.enabled and os.path.exists(self._path(name))
+
     def load(self, name: str):
         if not self.enabled or not os.path.exists(self._path(name)):
             return None

@@ -67,6 +67,8 @@ def warm_newref_pass(
     n_pad: int | None = None,
     rows_pad: int | None = None,
     pca: bool = True,
+    null_warm: bool = True,
+    interpret: bool = False,
 ) -> None:
     """Compile every program of one newref pass's hot path (synchronous).
 
@@ -106,9 +108,9 @@ def warm_newref_pass(
     knn_search_pallas(
         data, chr_of, starts, sizes,
         ref_size=ref_size, row_range=row_range, n_pad=n_pad,
-        _warm_only=True, _device_out=dev_out,
+        _warm_only=True, _device_out=dev_out, interpret=interpret,
     )
-    if "indexes" in dev_out:
+    if null_warm and "indexes" in dev_out:
         compute_null_ratios_device(
             data, dev_out["indexes"], np.arange(n_chosen),
             placeholder_rows=r0, rows_pad=rows_pad, fetch=False,
