@@ -196,7 +196,7 @@ def tool_test_batch(args):
     from wisecondorx_tpu.models.predictor import (
         PredictConfig,
         PredictError,
-        segment_bins,
+        segment_bins_batch,
     )
     from wisecondorx_tpu.output.tables import generate_output_tables
     from wisecondorx_tpu.parallel.batch import predict_batch
@@ -268,8 +268,10 @@ def tool_test_batch(args):
         logging.critical(str(e))
         sys.exit(1)
 
-    for outid, bins in zip(outids, all_bins):
-        segments = segment_bins(bins, cfg)
+    # One batched CBS engine run for the whole plate: all samples'
+    # segments share device dispatches instead of a per-sample host loop.
+    all_segments = segment_bins_batch(all_bins, cfg)
+    for outid, bins, segments in zip(outids, all_bins, all_segments):
         if args.bed:
             generate_output_tables(
                 outid, bins, segments, cfg, regions=args.regions

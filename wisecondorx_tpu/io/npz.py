@@ -146,8 +146,100 @@ def save_reference_npz(
             if key not in arrays:
                 raise KeyError(f"pass {gender!r} missing key {key!r}")
             final[f"{key}{suffix}"] = arrays[key]
-    np.savez_compressed(path, **final)
+    _savez_fast(path, final)
     logging.info("Reference written to %s", path)
+
+
+def _savez_fast(path, arrays: dict) -> None:
+    """``np.savez_compressed``-compatible writer, parallel + zlib level 1.
+
+    numpy hardwires single-threaded deflate level 6, which compresses the
+    ~0.5 GB of index/distance tables at ~30-40 MB/s.  Here each member's
+    deflate stream is produced from independently compressed chunks
+    joined with Z_FULL_FLUSH boundaries (the pigz construction — a fully
+    valid single deflate stream), with the chunks compressed at level 1
+    on a thread pool (zlib releases the GIL), and the zip container
+    written by hand.  ~10x the numpy writer; the result is an ordinary
+    npz (zip of .npy members) that ``np.load`` — ours or the
+    reference's — reads identically.
+
+    Falls back to numpy's writer for members >= 4 GiB (zip64 territory).
+    """
+    import io
+    import struct
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"
+
+    members = []
+    for key, val in arrays.items():
+        buf = io.BytesIO()
+        np.lib.format.write_array(
+            buf, np.asanyarray(val), allow_pickle=True
+        )
+        members.append((f"{key}.npy", buf.getbuffer()))
+    if any(len(raw) >= 2**32 - 1 for _, raw in members):
+        np.savez_compressed(path, **arrays)  # zip64: numpy handles it
+        return
+
+    chunk = 1 << 23  # 8 MiB per deflate chunk
+
+    def compress_member(raw):
+        pieces = [
+            bytes(raw[a : a + chunk]) for a in range(0, len(raw), chunk)
+        ] or [b""]
+
+        def one(i):
+            co = zlib.compressobj(1, zlib.DEFLATED, -15)
+            out = co.compress(pieces[i])
+            out += co.flush(
+                zlib.Z_FULL_FLUSH if i < len(pieces) - 1 else zlib.Z_FINISH
+            )
+            return out
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            blobs = list(pool.map(one, range(len(pieces))))
+        return b"".join(blobs), zlib.crc32(raw)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        compressed = list(
+            pool.map(lambda m: compress_member(m[1]), members)
+        )
+
+    with open(path, "wb") as f:
+        central = []
+        for (name, raw), (data, crc) in zip(members, compressed):
+            offset = f.tell()
+            nameb = name.encode()
+            # Local file header: deflate, no flags, zeroed DOS timestamp.
+            f.write(
+                struct.pack(
+                    "<IHHHHHIIIHH", 0x04034B50, 20, 0, 8, 0, 0,
+                    crc, len(data), len(raw), len(nameb), 0,
+                )
+                + nameb
+            )
+            f.write(data)
+            central.append(
+                struct.pack(
+                    "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 8, 0, 0,
+                    crc, len(data), len(raw), len(nameb),
+                    0, 0, 0, 0, 0, offset,
+                )
+                + nameb
+            )
+        cd_start = f.tell()
+        for entry in central:
+            f.write(entry)
+        cd_size = f.tell() - cd_start
+        f.write(
+            struct.pack(
+                "<IHHHHIIH", 0x06054B50, 0, 0,
+                len(central), len(central), cd_size, cd_start, 0,
+            )
+        )
 
 
 def load_reference_npz(path):

@@ -152,6 +152,7 @@ def knn_search(
     n_pad: int | None = None,
     row_pad: int | None = None,
     device_out: dict | None = None,
+    pre_fetch_hook=None,
 ):
     """Exact per-bin K nearest neighbours over other-chromosome bins.
 
@@ -193,6 +194,7 @@ def knn_search(
             n_pad=n_pad,
             row_pad=row_pad,
             _device_out=device_out,
+            _pre_fetch_hook=pre_fetch_hook,
         )
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
@@ -342,6 +344,23 @@ def compute_null_ratios_device(
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         parts = list(pool.map(lambda a: np.asarray(a), pending))
+    for i, part in enumerate(parts):
+        s = i * chunk
+        if s >= n_rows:
+            break
+        e = min(s + chunk, n_rows)
+        out[s:e] = part[: e - s]
+    return out
+
+
+def assemble_null_ratio_rows(parts: list, n_rows: int) -> np.ndarray:
+    """Stitch prefetched null-ratio chunk arrays (host numpy, from
+    :func:`compute_null_ratios_device` ``fetch=False`` results downloaded
+    by the KNN search's overlap pool) into the final [n_rows, chosen]
+    table, dropping the padding tail."""
+    parts = [np.asarray(p) for p in parts]
+    chunk = parts[0].shape[0]
+    out = np.empty((n_rows, parts[0].shape[1]), dtype=parts[0].dtype)
     for i, part in enumerate(parts):
         s = i * chunk
         if s >= n_rows:

@@ -120,12 +120,13 @@ def warm_newref_pass(
 def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
     """Compile one CBS segment-size bucket's programs (synchronous).
 
-    The segmentation recursion visits segments of arbitrary length; sizes
-    are padded to power-of-two buckets, so per bucket exactly four
-    programs exist: observed statistic over the test arc family, the
-    bitonic device permutation generator, the permutation exceedance
-    count, and the exact-location all-lengths scan.  ``n`` is traced
-    everywhere, so one representative size compiles the whole bucket.
+    The level-synchronous engine (ops/cbs.py round 3) runs exactly two
+    programs per (bucket, family-mode): the fused permutation round
+    (shuffle + statistic + exceedance counts, with the observed rows
+    inlined) and the batched exact-location scan.  Every shape the bucket
+    can request is pinned here: seg_batch segments, the engine's row
+    count, and the bucket's shared shift-invariant length family — so
+    the production run compiles nothing.
     """
     import jax
     import jax.numpy as jnp
@@ -134,30 +135,30 @@ def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
 
     if cfg is None:
         cfg = cbs_ops.CBSConfig()
-    n = n_pad  # representative size; any n in (n_pad/2, n_pad] shares keys
-    # Same dtype route as _test_split: float64 host arrays, downcast by
-    # the x64 setting on transfer.
-    xj = jnp.asarray(np.zeros(n_pad, dtype=np.float64))
-    wj = jnp.asarray(np.ones(n_pad, dtype=np.float64))
-    nj = jnp.int32(n)
-    lengths = jnp.asarray(cbs_ops._arc_lengths(n, cfg))
-    obs, _, _ = cbs_ops._observed_stat(xj, wj, nj, lengths, cfg.min_width)
-    key = jax.random.PRNGKey(0)
-    order = cbs_ops._device_perms(
-        key, nj, n_pad=n_pad, batch=cfg.perm_batch
-    )
-    cbs_ops._perm_exceed_count(
-        xj, wj, nj, lengths, obs, order, cfg.min_width
-    )
-    if cfg.p_method == "hybrid" and n > cfg.exact_max:
-        short = jnp.asarray(cbs_ops._arc_lengths(n, cfg, short_only=True))
-        cbs_ops._perm_exceed_count(
-            xj, wj, nj, short, obs, order, cfg.min_width
+    S = cfg.seg_batch
+    w_seg = jnp.asarray(np.ones((S, n_pad), dtype=np.float64))
+    wx_seg = jnp.asarray(np.zeros((S, n_pad), dtype=np.float64))
+    n_seg = jnp.asarray(np.full(S, n_pad, dtype=np.int32))
+    modes = set()
+    if n_pad <= cbs_ops._bucket(cfg.exact_max):
+        modes.add("exact")
+    if n_pad > cfg.exact_max:  # bucket can hold n > exact_max
+        modes.add("short" if cfg.p_method == "hybrid" else "thin")
+    B = max(64, min(cfg.row_elems // n_pad, 1 << 16))
+    seg_of_row = jnp.asarray(np.zeros(B, dtype=np.int32))
+    row_live = jnp.asarray(np.ones(B, dtype=bool))
+    for mode in sorted(modes):
+        lengths = jnp.asarray(cbs_ops._group_lengths(n_pad, cfg, mode))
+        cbs_ops._perm_round_device(
+            jax.random.PRNGKey(0), w_seg, wx_seg, n_seg,
+            seg_of_row, row_live, lengths, cfg.min_width, cfg.kmax,
         )
+        if cfg.t_threshold is not None or mode == "short":
+            cbs_ops._max_t_rows(
+                w_seg, wx_seg, n_seg, lengths, cfg.min_width, cfg.kmax
+            )
     # Exact breakpoint-location scan (runs once per accepted split).
-    cbs_ops._observed_stat(
-        xj, wj, nj, jnp.arange(n_pad, dtype=jnp.int32), cfg.min_width
-    )
+    cbs_ops._locate_batch(w_seg, wx_seg, n_seg, cfg.min_width)
 
 
 def start_cbs_warmup(
@@ -186,13 +187,9 @@ def start_cbs_warmup(
         done.set()
         return done
 
-    from wisecondorx_tpu.ops.cbs import _bucket
+    from wisecondorx_tpu.ops.cbs import _bucket_list
 
-    buckets = []
-    p = _bucket(n_max)
-    while p >= 8:
-        buckets.append(p)
-        p //= 2
+    buckets = _bucket_list(n_max)
 
     from concurrent.futures import ThreadPoolExecutor
 
