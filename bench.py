@@ -1,262 +1,216 @@
 #!/usr/bin/env python3
-"""Benchmark harness.
+"""Benchmark harness — measures the PRODUCT, not just the kernels.
 
-Headline metric: wall-clock of the newref hot path (PCA residual + KNN
-within-sample reference search + null-ratio table) at 15 kb bins with 500
-reference samples — the workload the reference README calls out as the
-predecessor's 24-hour wall (README.md:10-11) and whose O(bins^2 x samples)
-Python loop is WisecondorX's own bottleneck.
+Headline metric: cold-process wall of the real ``newref`` CLI at 15 kb
+bins with 500 reference samples — the workload whose O(bins^2 x samples)
+Python loop made the reference's predecessor take ~24 h (reference
+README.md:10-11) — including npz parsing, compile residual, KNN, null
+ratios, reference npz write, and QC.  ``vs_baseline`` extrapolates the
+reference implementation's own KNN loop (newref_tools.py:255-278) timed
+on a row slice of identical data (the loop is embarrassingly parallel
+over rows, so linear extrapolation is exact up to constants; the npz
+parsing the reference would also pay is NOT charged to it).
 
-``vs_baseline`` is the measured speedup over the reference implementation:
-the reference's pure-Python bisect KNN loop (newref_tools.py:255-278) is
-timed on a row slice of the identical data and extrapolated linearly in
-rows (the loop is embarrassingly parallel over rows, so this is exact up
-to constant factors; the slice covers the full candidate axis).
+Also reported (stderr JSON lines, recorded in the driver's bench tail):
 
-Prints exactly ONE JSON line on stdout; details go to stderr.
+* ``predict_e2e_wall_s``   — cold ``predict --bed`` CLI wall for one
+  sample against the 500-sample reference: normalize + full 23-chr CBS +
+  segment z + tables.
+* ``predict_batch_s_per_sample`` — cold ``predict-batch --bed`` CLI wall
+  over a plate, amortized per sample (the production batch path).
+
+Synthetic convert-npz cohorts are cached under
+``~/.cache/wcx_bench_cohort`` keyed by (binsize, samples, scale) so
+repeat runs skip the ~minutes of Poisson draws + npz writes.
+
 Environment knobs: WCX_BENCH_BINSIZE, WCX_BENCH_SAMPLES, WCX_BENCH_SCALE,
-WCX_BENCH_PREDICT_BATCH.
+WCX_BENCH_PREDICT_BATCH, WCX_BENCH_REF_SLICE.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-# Persistent XLA compilation cache: the axon remote-compile path costs
-# minutes per kernel on a cold cache; warm runs reuse serialized binaries.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def metric(name, value, unit):
+    log(json.dumps({"metric": name, "value": round(value, 2), "unit": unit}))
+
+
+def build_cohort(binsize, n_samples, scale):
+    """Generate (or reuse) a cohort of convert-npz files + test samples."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synthetic import CohortSim
+
+    from wisecondorx_tpu.io.npz import save_sample_npz
+
+    tag = f"b{int(binsize)}_s{n_samples}_g{scale:g}"
+    root = os.path.expanduser(f"~/.cache/wcx_bench_cohort/{tag}")
+    done = os.path.join(root, ".complete")
+    files = [os.path.join(root, f"ref{i:04d}.npz") for i in range(n_samples)]
+    trisomy = os.path.join(root, "test_t21.npz")
+    if os.path.exists(done):
+        return files, trisomy
+    os.makedirs(root, exist_ok=True)
+    t0 = time.perf_counter()
+    sim = CohortSim(
+        binsize=binsize, genome_scale=scale, mean_reads_per_bin=100.0,
+        seed=7,
+    )
+    qual = {"filter_rmdup": 0, "filter_mapq": 0, "pre_retro": 0,
+            "post_retro": 0}
+    for i, path in enumerate(files):
+        s = sim.sample(gender="F" if i % 2 else "M")
+        save_sample_npz(path, int(binsize), s, qual)
+        if i % 100 == 99:
+            log(f"cohort: {i + 1}/{n_samples} files")
+    n21 = len(sim.bias[20])
+    t = sim.sample(gender="F", cnvs=[(21, 0, n21, 3.0)])
+    save_sample_npz(trisomy, int(binsize), t, qual)
+    open(done, "w").write("ok")
+    log(f"cohort generated in {time.perf_counter() - t0:.0f}s -> {root}")
+    return files, trisomy
+
+
+def reference_baseline(binsize, n_samples, scale, slice_rows):
+    """Extrapolate the reference's pure-Python KNN loop on identical-shape
+    data; returns estimated total seconds for the newref hot loop alone."""
+    sys.path.insert(0, "/root/reference/src")
+    from wisecondorx.newref_tools import get_ref_for_bins
+
+    chr_mbp = np.array(
+        [248, 242, 198, 190, 181, 171, 159, 145, 138, 133, 135, 133, 114,
+         107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57], dtype=float)
+    bins = int((chr_mbp * 1e6 * scale / binsize).astype(np.int64).sum())
+    n_masked = int(bins * 0.93)
+    rng = np.random.default_rng(0)
+    data = rng.random((n_masked, n_samples))
+    data /= data.sum(axis=0, keepdims=True)
+    chr1 = int(chr_mbp[0] * 1e6 * scale / binsize * 0.93)
+    tb = time.perf_counter()
+    get_ref_for_bins(300, 0, slice_rows, data, data[chr1:, :])
+    t_slice = time.perf_counter() - tb
+    est = t_slice / slice_rows * n_masked
+    log(
+        f"reference slice: {slice_rows} rows in {t_slice:.2f}s "
+        f"-> est {est:.0f}s total ({est / 3600:.1f}h) for the KNN loop alone"
+    )
+    return est
+
+
+def run_cli(args, tag):
+    """Run the CLI in a COLD subprocess; returns (wall s, channel-init s).
+
+    The tunneled axon TPU pays a 50-900 s one-time d2h channel init per
+    process — an environment artifact absent on directly attached TPU
+    hosts.  The CLI logs it; it is parsed out and reported alongside so
+    the product wall is attributable.  (The axon compile service caches
+    compiled programs across processes, so these runs are cold-process /
+    warm-service — stated in the metrics.)
+    """
+    cmd = [sys.executable, "-m", "wisecondorx_tpu.cli", *args]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        REPO + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, timeout=5400
+    )
+    wall = time.perf_counter() - t0
+    chan = 0.0
+    for line in proc.stderr.split("\n"):
+        if "d2h readback channel live after" in line:
+            chan = float(line.rsplit(" ", 1)[-1].rstrip("s"))
+    tail = "\n".join(proc.stderr.strip().split("\n")[-12:])
+    log(
+        f"--- {tag}: rc={proc.returncode} wall={wall:.1f}s "
+        f"(channel-init {chan:.1f}s)\n{tail}"
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"{tag} failed (rc={proc.returncode})")
+    return wall, chan
+
+
 def main():
     binsize = float(os.environ.get("WCX_BENCH_BINSIZE", 15000))
     n_samples = int(os.environ.get("WCX_BENCH_SAMPLES", 500))
     scale = float(os.environ.get("WCX_BENCH_SCALE", 1.0))
-    predict_batch_n = int(os.environ.get("WCX_BENCH_PREDICT_BATCH", 96))
-    refsize = 300
+    batch_n = int(os.environ.get("WCX_BENCH_PREDICT_BATCH", 32))
+    slice_rows = max(2, int(os.environ.get("WCX_BENCH_REF_SLICE", 6)))
 
     import jax
-
-    from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
-    from wisecondorx_tpu.ops import knn as knn_ops
-    from wisecondorx_tpu.ops import pca as pca_ops
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
-    # The first device->host readback pays a one-time channel-init cost of
-    # up to several minutes on the tunneled TPU; trigger it now on a thread
-    # so it overlaps data generation and the host-side baseline timing.
-    from wisecondorx_tpu.utils.device import warm_readback_channel
+    import tempfile
 
-    warm_done = warm_readback_channel()
+    work = tempfile.mkdtemp(prefix="wcx_bench_")
+    files, trisomy = build_cohort(binsize, n_samples, scale)
+    ref_est = reference_baseline(binsize, n_samples, scale, slice_rows)
 
-    # Synthetic masked-space cohort at hg38 proportions.
-    chr_mbp = np.array(
-        [248, 242, 198, 190, 181, 171, 159, 145, 138, 133, 135, 133, 114,
-         107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57], dtype=float,
+    # ---- newref, cold end-to-end ----
+    ref_npz = os.path.join(work, "reference.npz")
+    newref_wall, newref_chan = run_cli(
+        ["newref", *files, ref_npz, "--binsize", str(int(binsize))],
+        "newref e2e",
     )
-    bins_per_chr = np.maximum(
-        (chr_mbp * 1e6 * scale / binsize).astype(np.int64), 8
-    )
-    layout = GenomeLayout(bins_per_chr)
-    rng = np.random.default_rng(0)
-    mask = rng.random(layout.total_bins) > 0.07
-    ml = MaskedLayout(layout, mask)
-    n = ml.n_masked
-    log(f"bins: {layout.total_bins} total, {n} masked; samples: {n_samples}")
-
-    # Compile warm-up: every hot-path program shape is known right here,
-    # so compile them on a thread while the host generates data and times
-    # the reference baseline.  A production newref overlaps these compiles
-    # with input npz parsing the same way (models/reference.py); the axon
-    # persistent cache cannot help (ROADMAP.md), overlap can.
-    from wisecondorx_tpu.utils.warmup import start_cbs_warmup, start_warmup
-
-    warm_compiles = start_warmup(
-        [
-            dict(
-                n_bins=n,
-                n_samples=n_samples,
-                ref_size=refsize,
-                n_chr=len(ml.masked_bins_per_chr),
-            )
-        ]
-    )
-    # Chained behind the newref warm-up: concurrent warms contend on the
-    # GIL (tracing) and the tunnel (compile RPCs) and slow the measured
-    # hot path by ~9 s.
-    warm_cbs = start_cbs_warmup(
-        int(ml.masked_bins_per_chr[0]), after=warm_compiles
-    )
-
-    depth = rng.lognormal(0.0, 0.03, size=(n, 1))
-    data = (
-        depth * rng.lognormal(0.0, 0.02, size=(n, n_samples))
-    ).astype(np.float32)
-    data /= data.sum(axis=0, keepdims=True)
-
-    # ---- reference baseline first: host-only, overlaps the readback
-    # channel init triggered above ----
-    sys.path.insert(0, "/root/reference/src")
-    from wisecondorx.newref_tools import get_ref_for_bins
-
-    slice_rows = max(2, int(os.environ.get("WCX_BENCH_REF_SLICE", 6)))
-    chr1 = int(ml.masked_bins_per_chr[0])
-    ref_data64 = data.astype(np.float64)
-    tb = time.perf_counter()
-    get_ref_for_bins(
-        refsize, 0, slice_rows, ref_data64, ref_data64[chr1:, :]
-    )
-    t_slice = time.perf_counter() - tb
-    ref_est = t_slice / slice_rows * n
+    metric("newref_e2e_wall_s", newref_wall, "s")
+    metric("newref_e2e_minus_tunnel_init_s", newref_wall - newref_chan, "s")
     log(
-        f"reference slice: {slice_rows} rows in {t_slice:.2f}s "
-        f"-> est {ref_est:.0f}s total ({ref_est/3600:.1f}h)"
-    )
-    del ref_data64
-
-    warm_done.wait(timeout=900)
-    log("readback channel warm")
-    tw = time.perf_counter()
-    warm_compiles.wait(timeout=1200)
-    log(f"compile warm-up drained ({time.perf_counter() - tw:.2f}s residual)")
-
-    import jax.numpy as jnp
-
-    # ---- our newref hot path (upload + PCA + KNN + null ratios), compile
-    # included.  The cohort is uploaded once; every intermediate matrix
-    # stays device-resident (the tunneled link moves ~46 MB/s h2d /
-    # ~25 MB/s d2h, so transfers are metered separately below).
-    t0 = time.perf_counter()
-    data_dev = jax.block_until_ready(jnp.asarray(data))
-    t_up = time.perf_counter() - t0
-    log(f"cohort upload: {t_up:.2f}s ({data.nbytes / 2**20:.0f} MB)")
-
-    t0 = time.perf_counter()
-    corrected, comps, mean = pca_ops.train_pca(data_dev, return_device=True)
-    jax.block_until_ready(corrected)
-    t_pca = time.perf_counter() - t0
-    log(f"pca: {t_pca:.2f}s")
-
-    t1 = time.perf_counter()
-    stats = {}
-    dev_out = {}
-    from wisecondorx_tpu.ops.knn_pallas import knn_search_pallas
-
-    if jax.default_backend() == "tpu":
-        idx, dist = knn_search_pallas(
-            corrected,
-            ml.chr_of_masked_bin,
-            ml.masked_chr_starts,
-            ml.masked_bins_per_chr,
-            ref_size=refsize,
-            _stats=stats,
-            _device_out=dev_out,
-        )
-    else:
-        idx, dist = knn_ops.knn_search(
-            corrected,
-            ml.chr_of_masked_bin,
-            ml.masked_chr_starts,
-            ml.masked_bins_per_chr,
-            ref_size=refsize,
-            col_tile=int(os.environ.get("WCX_BENCH_COL_TILE", 8192)),
-            row_tile=int(os.environ.get("WCX_BENCH_ROW_TILE", 32768)),
-        )
-    t_knn = time.perf_counter() - t1
-    log(
-        f"knn: {t_knn:.2f}s ({n} rows x {n} candidates x {n_samples} dims; "
-        f"stats={stats})"
+        f"reference npz: {os.path.getsize(ref_npz) / 2**20:.0f} MB"
     )
 
-    t2 = time.perf_counter()
-    chosen = knn_ops.choose_null_samples(n_samples, rng)
-    if "indexes" in dev_out:
-        # Device-resident index table: no ~230 MB re-upload over the tunnel.
-        null_ratios = knn_ops.compute_null_ratios_device(
-            corrected, dev_out["indexes"], chosen
-        )
-    else:
-        null_ratios = knn_ops.compute_null_ratios(
-            corrected, idx, chosen, backend="jax"
-        )
-    t_null = time.perf_counter() - t2
-    log(f"null ratios: {t_null:.2f}s")
+    # ---- predict, cold end-to-end (one sample) ----
+    outid = os.path.join(work, "t21")
+    predict_wall, chan = run_cli(
+        ["predict", trisomy, ref_npz, outid, "--bed"], "predict e2e"
+    )
+    metric("predict_e2e_wall_s", predict_wall, "s")
+    metric("predict_e2e_minus_tunnel_init_s", predict_wall - chan, "s")
+    aber = open(outid + "_aberrations.bed").read().strip().split("\n")
+    log(f"aberrations called: {aber[1:] if len(aber) > 1 else 'NONE'}")
 
-    ours = t_up + t_pca + t_knn + t_null
+    # ---- predict-batch, cold, amortized ----
+    plate = files[:batch_n - 1] + [trisomy]
+    outdir = os.path.join(work, "plate")
+    batch_wall, chan = run_cli(
+        ["predict-batch", ref_npz, outdir, "--bed", "--infiles", *plate],
+        f"predict-batch x{len(plate)}",
+    )
+    metric("predict_batch_s_per_sample", batch_wall / len(plate), "s")
+    metric(
+        "predict_batch_s_per_sample_minus_tunnel_init",
+        (batch_wall - chan) / len(plate), "s",
+    )
 
-    # ---- CBS at 15 kb (chr1-scale segmentation with planted CNVs) ----
-    try:
-        from wisecondorx_tpu.ops.cbs import CBSConfig, exec_cbs
-
-        n1 = int(ml.masked_bins_per_chr[0])
-        log_r = rng.normal(0.0, 0.08, n1)
-        log_r[n1 // 4 : n1 // 4 + 400] += 0.58
-        log_r[n1 // 2 : n1 // 2 + 60] -= 1.0
-        weights = np.abs(rng.normal(1.0, 0.1, n1))
-        # exec_cbs iterates 23 chromosomes; all-zero ones turn NA and are
-        # dropped immediately, so only chr1 costs time.
-        results_r = [log_r] + [np.zeros(8)] * 22
-        results_w = [weights] + [np.ones(8)] * 22
-        tcw = time.perf_counter()
-        warm_cbs.wait(timeout=900)
-        log(f"cbs warm-up drained ({time.perf_counter() - tcw:.2f}s residual)")
-        tc = time.perf_counter()
-        rows = exec_cbs(
-            results_r, results_w, "F", int(binsize),
-            cfg=CBSConfig(nperm=10000),
-        )
-        t_cbs = time.perf_counter() - tc
-        log(
-            f"cbs: chr1 ({n1} bins) in {t_cbs:.2f}s -> {len(rows)} segments"
-        )
-    except Exception as e:  # auxiliary
-        log(f"cbs bench skipped: {e}")
-
-    # ---- predict throughput (batched) ----
-    try:
-        from wisecondorx_tpu.parallel.batch import _batched_kernel
-        import jax.numpy as jnp
-
-        k_idx = ml.neighbour_to_global(idx)
-        dist_ok = dist < np.quantile(dist, 0.95)
-        bsz = 8
-        tm = jnp.asarray(data[:, :bsz].T)
-        gi = jnp.asarray(k_idx, dtype=jnp.int32)
-        ok = jnp.asarray(dist_ok)
-        cj = jnp.asarray(comps)
-        mj = jnp.asarray(mean)
-        out = _batched_kernel(tm, cj, mj, gi, ok, ct=0)  # warmup/compile
-        jax.block_until_ready(out)
-        tp = time.perf_counter()
-        n_done = 0
-        while n_done < predict_batch_n:
-            out = _batched_kernel(tm, cj, mj, gi, ok, ct=0)
-            jax.block_until_ready(out)
-            n_done += bsz
-        t_pred = time.perf_counter() - tp
-        log(
-            f"predict normalize: {n_done} samples in {t_pred:.2f}s "
-            f"= {n_done / t_pred:.1f} samples/s"
-        )
-    except Exception as e:  # predict bench is auxiliary
-        log(f"predict bench skipped: {e}")
-
+    # Headline: the tunnel-corrected wall.  The raw cold-process wall is
+    # reported above (newref_e2e_wall_s), but the axon tunnel's one-time
+    # d2h channel init is measured at 1.8 s to 984 s across consecutive
+    # identical processes — pure harness noise that does not exist on
+    # directly attached TPU hosts — so the comparable product number
+    # excludes exactly that one measured wait and nothing else.
+    corrected = newref_wall - newref_chan
     print(
         json.dumps(
             {
-                "metric": "newref_hotpath_15kb_500samples_wall_s",
-                "value": round(ours, 2),
+                "metric": "newref_e2e_15kb_500samples_minus_tunnel_s",
+                "value": round(corrected, 2),
                 "unit": "s",
-                "vs_baseline": round(ref_est / ours, 1),
+                "vs_baseline": round(ref_est / corrected, 1),
             }
         )
     )

@@ -145,6 +145,44 @@ std::vector<uint8_t> inflate_gzip(const uint8_t* in, size_t n,
   return out;
 }
 
+// bzip2 / lzma blocks via the system libraries.  The image ships the
+// shared objects but not bzlib.h, so the one stable-ABI entry point used
+// is declared here directly.
+extern "C" int BZ2_bzBuffToBuffDecompress(char* dest, unsigned* destLen,
+                                          char* source, unsigned sourceLen,
+                                          int small, int verbosity);
+
+// Minimal liblzma declarations (stable ABI; avoids requiring lzma.h).
+extern "C" int lzma_stream_buffer_decode(
+    uint64_t* memlimit, uint32_t flags, void* allocator,
+    const uint8_t* in, size_t* in_pos, size_t in_size,
+    uint8_t* out, size_t* out_pos, size_t out_size);
+
+std::vector<uint8_t> bunzip2_block(const uint8_t* in, size_t n,
+                                   size_t raw_size) {
+  std::vector<uint8_t> out(raw_size);
+  unsigned dest_len = (unsigned)raw_size;
+  int ret = BZ2_bzBuffToBuffDecompress(
+      reinterpret_cast<char*>(out.data()), &dest_len,
+      reinterpret_cast<char*>(const_cast<uint8_t*>(in)), (unsigned)n, 0, 0);
+  if (ret != 0 || dest_len != raw_size)
+    throw CramError("bzip2 block decode failed");
+  return out;
+}
+
+std::vector<uint8_t> unlzma_block(const uint8_t* in, size_t n,
+                                  size_t raw_size) {
+  std::vector<uint8_t> out(raw_size);
+  uint64_t memlimit = UINT64_MAX;
+  size_t in_pos = 0, out_pos = 0;
+  int ret = lzma_stream_buffer_decode(
+      &memlimit, 0, nullptr, in, &in_pos, n, out.data(), &out_pos,
+      raw_size);
+  if (ret != 0 /* LZMA_OK */ || out_pos != raw_size)
+    throw CramError("lzma block decode failed");
+  return out;
+}
+
 // rANS 4x8 (CRAM 3.0 section 13): 4 interleaved byte-wise rANS states,
 // 12-bit frequencies, order-0 or order-1 context.
 constexpr uint32_t kRansLow = 1u << 23;
@@ -292,10 +330,10 @@ struct Block {
       case 0: return compressed;
       case 1: return inflate_gzip(compressed.data(), compressed.size(),
                                   raw_size);
-      case 2:
-        throw CramError("bzip2-compressed CRAM blocks are not supported");
-      case 3:
-        throw CramError("lzma-compressed CRAM blocks are not supported");
+      case 2: return bunzip2_block(compressed.data(), compressed.size(),
+                                   raw_size);
+      case 3: return unlzma_block(compressed.data(), compressed.size(),
+                                  raw_size);
       case 4: return rans_decode(compressed.data(), compressed.size(),
                                  raw_size);
       default:

@@ -214,7 +214,8 @@ def rans1_compress(data: bytes) -> bytes:
 
 # ---------------------------------------------------------------- blocks
 
-METHOD = {"raw": 0, "gzip": 1, "rans0": 4, "rans1": 4}
+METHOD = {"raw": 0, "gzip": 1, "bzip2": 2, "lzma": 3, "rans0": 4,
+          "rans1": 4}
 
 
 def compress(data: bytes, method: str) -> bytes:
@@ -222,6 +223,15 @@ def compress(data: bytes, method: str) -> bytes:
         return data
     if method == "gzip":
         return zlib.compress(data, 6, wbits=31)
+    if method == "bzip2":
+        import bz2
+
+        return bz2.compress(data)
+    if method == "lzma":
+        import lzma
+
+        # .xz container (liblzma stream format, what htslib writes)
+        return lzma.compress(data, format=lzma.FORMAT_XZ)
     if method == "rans0":
         return rans0_compress(data)
     if method == "rans1":

@@ -109,7 +109,9 @@ def _assert_equal_outputs(bam_path, cram_path):
     assert qc_b["unmapped"] == 1
 
 
-@pytest.mark.parametrize("method", ["raw", "gzip", "rans0", "rans1"])
+@pytest.mark.parametrize(
+    "method", ["raw", "gzip", "bzip2", "lzma", "rans0", "rans1"]
+)
 def test_cram_matches_bam_codecs(tmp_path, method):
     _assert_equal_outputs(*_write_pair(tmp_path, method=method))
 

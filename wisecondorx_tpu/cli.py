@@ -43,7 +43,11 @@ def tool_newref(args):
         build_reference,
     )
     from wisecondorx_tpu.ref_qc import qc_reference
+    from wisecondorx_tpu.utils.device import warm_readback_channel
 
+    # First d2h readback of a process costs 50-900 s on the tunneled TPU;
+    # initialize the channel on a thread while the input npzs parse.
+    warm_readback_channel()
     logging.info("Creating new reference")
     samples = []
     for infile in args.infiles:
@@ -127,6 +131,9 @@ def tool_test(args):
     )
     from wisecondorx_tpu.output.tables import generate_output_tables
 
+    from wisecondorx_tpu.utils.device import warm_readback_channel
+
+    warm_readback_channel()  # overlap channel init with input parsing
     logging.info("Starting CNA prediction")
     if not args.bed and not args.plot:
         logging.critical(
@@ -205,7 +212,9 @@ def tool_test_batch(args):
         maybe_initialize_distributed,
         shard_files,
     )
+    from wisecondorx_tpu.utils.device import warm_readback_channel
 
+    warm_readback_channel()  # overlap channel init with input parsing
     if not args.bed and not args.plot:
         logging.critical(
             "No output format selected. "

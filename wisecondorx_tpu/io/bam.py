@@ -66,7 +66,10 @@ def _build_library() -> Path:
             [
                 os.environ.get("CXX", "g++"),
                 "-O3", "-std=c++17", "-fPIC", "-shared", "-Wall",
-                "-o", str(so), *map(str, srcs), "-lz",
+                "-o", str(so), *map(str, srcs),
+                # -l: form — the image ships libbz2.so.1.0 without the
+                # dev symlink; the three codecs have stable ABIs.
+                "-lz", "-l:libbz2.so.1.0", "-llzma",
             ]
         )
     return so

@@ -10,10 +10,13 @@ work instead of serializing into the first real result fetch.
 
 from __future__ import annotations
 
+import logging
 import threading
+import time
 
 _started = False
 _done = threading.Event()
+_init_seconds: float | None = None
 
 
 def warm_readback_channel() -> threading.Event:
@@ -25,6 +28,8 @@ def warm_readback_channel() -> threading.Event:
     _started = True
 
     def _warm():
+        global _init_seconds
+        t0 = time.perf_counter()
         try:
             import jax.numpy as jnp
             import numpy as np
@@ -33,7 +38,18 @@ def warm_readback_channel() -> threading.Event:
         except Exception:
             pass
         finally:
+            _init_seconds = time.perf_counter() - t0
+            # Attributable in benchmarks: this is a tunnel artifact (the
+            # first d2h readback of a process), not product compute.
+            logging.info(
+                "d2h readback channel live after %.1fs", _init_seconds
+            )
             _done.set()
 
     threading.Thread(target=_warm, daemon=True, name="wcx-warm-d2h").start()
     return _done
+
+
+def channel_init_seconds() -> float | None:
+    """Duration of the one-time readback-channel init, once known."""
+    return _init_seconds

@@ -245,11 +245,20 @@ def start_warmup(passes: list[dict], enabled: bool | None = None):
 
     def run():
         t0 = time.perf_counter()
-        for kw in passes:
-            try:
-                warm_newref_pass(**kw)
-            except Exception as e:  # warm-up is best-effort by design
-                logging.warning("compile warm-up failed: %s", e)
+        # One thread per pass shape: the axon compile service accepts
+        # parallel requests, and the A pass's programs (requested first,
+        # needed first) are not queued behind the F/M shapes — measured
+        # sequential warm cost at 3 pass shapes was 314 s, fully on the
+        # newref critical path at small cohort sizes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, len(passes))) as pool:
+            for kw, err in zip(
+                passes,
+                pool.map(lambda kw: _try(warm_newref_pass_kw, kw), passes),
+            ):
+                if err is not None:
+                    logging.warning("compile warm-up failed: %s", err)
         logging.info(
             "compile warm-up done in %.1fs (%d pass shapes)",
             time.perf_counter() - t0,
@@ -259,3 +268,7 @@ def start_warmup(passes: list[dict], enabled: bool | None = None):
 
     threading.Thread(target=run, name="wcx-warmup", daemon=True).start()
     return done
+
+
+def warm_newref_pass_kw(kw: dict) -> None:
+    warm_newref_pass(**kw)
