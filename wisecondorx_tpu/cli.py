@@ -160,6 +160,11 @@ def tool_test(args):
         sys.exit(1)
 
     logging.info("Importing data ...")
+    # Compile the normalize/CBS programs (shapes read from the npz member
+    # headers) while the reference's big tables decompress.
+    from wisecondorx_tpu.utils.warmup import start_predict_warmup
+
+    start_predict_warmup(args.reference)
     sample, sample_binsize, _ = load_sample_npz(args.infile)
     passes, meta = load_reference_npz(args.reference)
 

@@ -247,7 +247,13 @@ def load_reference_npz(path):
 
     Accepts files produced by either this package or the reference tool.
     Returns (passes dict, meta dict with is_nipt/trained_cutoff/has_*).
+
+    Members decompress on a thread pool (zlib releases the GIL): the big
+    index/distance/null tables are each hundreds of MB and dominate the
+    predict cold start otherwise.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     npz = np.load(path, encoding="latin1", allow_pickle=True)
     meta = {
         "is_nipt": bool(npz["is_nipt"]),
@@ -255,10 +261,53 @@ def load_reference_npz(path):
         "has_female": bool(npz["has_female"]),
         "has_male": bool(npz["has_male"]),
     }
-    passes = {}
+    wanted = []
     for gender in ("A", "F", "M"):
         suffix = "" if gender == "A" else f".{gender}"
         if f"bins_per_chr{suffix}" not in npz:
             continue
-        passes[gender] = {key: npz[f"{key}{suffix}"] for key in PASS_KEYS}
+        wanted.extend((gender, key, f"{key}{suffix}") for key in PASS_KEYS)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        arrays = list(
+            pool.map(lambda w: np.load(
+                path, encoding="latin1", allow_pickle=True
+            )[w[2]], wanted)
+        )
+    passes: dict = {}
+    for (gender, key, _), arr in zip(wanted, arrays):
+        passes.setdefault(gender, {})[key] = arr
     return passes, meta
+
+
+def reference_npz_headers(path):
+    """Cheap structural peek at a reference npz: per-pass small arrays
+    (mask, bins_per_chr, cumsums) plus the SHAPES of the big tables, read
+    without decompressing the tables themselves — everything a compile
+    warm-up needs to pin the predict program shapes before the hundreds
+    of MB of indexes/distances arrive (utils/warmup.py).
+    """
+    import zipfile
+
+    npz = np.load(path, encoding="latin1", allow_pickle=True)
+    out = {}
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        for gender in ("A", "F", "M"):
+            suffix = "" if gender == "A" else f".{gender}"
+            if f"bins_per_chr{suffix}.npy" not in names:
+                continue
+            entry = {
+                "mask": np.asarray(npz[f"mask{suffix}"], dtype=bool),
+                "bins_per_chr": np.asarray(npz[f"bins_per_chr{suffix}"]),
+                "masked_bins_per_chr_cum": np.asarray(
+                    npz[f"masked_bins_per_chr_cum{suffix}"]
+                ),
+            }
+            with zf.open(f"indexes{suffix}.npy") as member:
+                version = np.lib.format.read_magic(member)
+                shape, _, _ = np.lib.format._read_array_header(
+                    member, version
+                )
+            entry["indexes_shape"] = shape
+            out[gender] = entry
+    return out

@@ -117,6 +117,91 @@ def warm_newref_pass(
         )
 
 
+def start_predict_warmup(ref_path, cfg=None):
+    """Compile the predict hot-path programs while the reference npz's
+    big tables (hundreds of MB of indexes/distances) decompress.
+
+    Only the npz's small members and the big members' HEADERS are read
+    (io/npz.reference_npz_headers) — enough to pin every program shape:
+    the single-sample three-round normalization kernel for the autosomal
+    and each gonosomal pass, the PCA projection, and (chained behind, via
+    ``after``-style sequencing inside the thread) the CBS buckets for the
+    largest chromosome.  Measured cold predict spends ~40-60 s compiling
+    exactly these after the tables are already in memory otherwise.
+
+    Returns an Event set when all warms finish.  No-op off-TPU.
+    """
+    import jax
+
+    done = threading.Event()
+    if jax.default_backend() != "tpu":
+        done.set()
+        return done
+
+    def run():
+        t0 = time.perf_counter()
+        try:
+            import jax.numpy as jnp
+
+            from wisecondorx_tpu.io.npz import reference_npz_headers
+            from wisecondorx_tpu.ops.normalize import (
+                _normalize_repeat_kernel,
+            )
+            from wisecondorx_tpu.ops.pca import project_sample
+
+            headers = reference_npz_headers(ref_path)
+            max_chr_bins = 0
+            for gender, h in headers.items():
+                n = int(h["mask"].sum())
+                k = int(h["indexes_shape"][1])
+                max_chr_bins = max(
+                    max_chr_bins, int(np.max(h["bins_per_chr"]))
+                )
+                ct = (
+                    0 if gender == "A"
+                    else int(h["masked_bins_per_chr_cum"][21])
+                )
+                # Mirror production dtypes exactly: f64 host arrays
+                # downcast on transfer under the default x64-off setting.
+                test = jnp.asarray(np.zeros(n))
+                gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
+                ok = jnp.asarray(np.zeros((n - ct, k), bool))
+                _normalize_repeat_kernel(test, gi, ok, ct=ct)
+                comps = jnp.asarray(np.zeros((5, n)))
+                project_sample(test, comps, jnp.asarray(np.zeros(n)))
+            logging.info(
+                "predict normalize warm-up done in %.1fs",
+                time.perf_counter() - t0,
+            )
+            for b in _cbs_bucket_list_cached(max_chr_bins):
+                _try(warm_cbs_bucket, b, cfg)
+            logging.info(
+                "predict warm-up done in %.1fs",
+                time.perf_counter() - t0,
+            )
+        except Exception as e:  # best-effort
+            logging.warning("predict warm-up failed: %s", e)
+        finally:
+            done.set()
+
+    threading.Thread(
+        target=run, name="wcx-predict-warmup", daemon=True
+    ).start()
+    return done
+
+
+def _cbs_bucket_list_cached(n_max: int) -> list[int]:
+    from wisecondorx_tpu.ops.cbs import _bucket_list
+
+    return _bucket_list(n_max)
+
+
+#: Buckets already warmed in this process — predict warms CBS both from
+#: start_predict_warmup (pre-load) and predict() (post-load); re-running
+#: a warmed bucket costs a wasted multi-second 67M-element dispatch.
+_warmed_cbs: set = set()
+
+
 def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
     """Compile one CBS segment-size bucket's programs (synchronous).
 
@@ -135,6 +220,12 @@ def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
 
     if cfg is None:
         cfg = cbs_ops.CBSConfig()
+    key = (n_pad, cfg.seg_batch, cfg.row_elems, cfg.p_method,
+           cfg.exact_max, cfg.min_width, cfg.kmax,
+           cfg.t_threshold is not None)
+    if key in _warmed_cbs:
+        return
+    _warmed_cbs.add(key)
     S = cfg.seg_batch
     w_seg = jnp.asarray(np.ones((S, n_pad), dtype=np.float64))
     wx_seg = jnp.asarray(np.zeros((S, n_pad), dtype=np.float64))
