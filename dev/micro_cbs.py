@@ -76,9 +76,12 @@ def main():
             w_seg, wx_seg, n_seg, full,
         )
 
+        ri = jnp.asarray(np.zeros(B, np.int32))
+        obs0 = jnp.asarray(np.zeros(w_seg.shape[0], np.float64))
         pr = jax.jit(
             lambda k, sl, rl: cbs_ops._perm_round_device(
-                k, w_seg, wx_seg, n_seg, sl, rl, lengths, 2, 25
+                k, w_seg, wx_seg, n_seg, sl, rl, ri, ri, ri, ri,
+                obs0, lengths, 2, 25,
             )
         )
         bench(

@@ -208,6 +208,17 @@ def _savez_fast(path, arrays: dict) -> None:
             pool.map(lambda m: compress_member(m[1]), members)
         )
 
+    # Any 32-bit zip field overflowing (compressed size, or the running
+    # archive offset of a later member / the central directory) needs
+    # zip64 — let numpy's writer handle that instead of struct.error-ing.
+    lim = 2**32 - 1
+    offset = 0
+    for (name, raw), (data, _) in zip(members, compressed):
+        offset += 30 + len(name.encode()) + len(data)
+        if len(data) >= lim or offset >= lim:
+            np.savez_compressed(path, **arrays)
+            return
+
     with open(path, "wb") as f:
         central = []
         for (name, raw), (data, crc) in zip(members, compressed):
@@ -305,9 +316,16 @@ def reference_npz_headers(path):
             }
             with zf.open(f"indexes{suffix}.npy") as member:
                 version = np.lib.format.read_magic(member)
-                shape, _, _ = np.lib.format._read_array_header(
-                    member, version
+                # Public per-version readers (the private _read_array_header
+                # broke across numpy versions).
+                readers = {
+                    (1, 0): np.lib.format.read_array_header_1_0,
+                    (2, 0): np.lib.format.read_array_header_2_0,
+                }
+                reader = readers.get(
+                    tuple(version), np.lib.format.read_array_header_2_0
                 )
+                shape, _, _ = reader(member)
             entry["indexes_shape"] = shape
             out[gender] = entry
     return out

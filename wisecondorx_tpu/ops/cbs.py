@@ -340,10 +340,13 @@ def _shuffle_rows(keys, w_rows, wx_rows):
     return w_p, wx_p
 
 
-@functools.partial(jax.jit, static_argnames=("min_width", "kmax"))
+@functools.partial(
+    jax.jit, static_argnames=("min_width", "kmax", "use_ext_obs")
+)
 def _perm_round_device(
-    key, w_seg, wx_seg, n_seg, seg_of_row, row_live, lengths,
-    min_width: int, kmax: int,
+    base_key, w_seg, wx_seg, n_seg, seg_of_row, row_live,
+    row_salt, row_lo, row_hi, row_draw, obs_ext, lengths,
+    min_width: int, kmax: int, use_ext_obs: bool = False,
 ):
     """One fused permutation round for a batch of segments (TPU path).
 
@@ -353,6 +356,15 @@ def _perm_round_device(
     first S internal rows are the *unshuffled* segments, so the observed
     statistic comes out of the same program — no separate round trip.
 
+    Each permutation row's random keys derive from
+    (base_key, row_salt, row_lo, row_hi, row_draw) — the draw is a pure
+    function of the segment's identity and its draw index, independent of
+    how segments are batched across dispatches, samples, or hosts.
+
+    ``use_ext_obs`` (hybrid): compare permuted maxima against ``obs_ext``
+    (the host-computed full-family observed statistic) instead of the
+    in-program short-family observed rows.
+
     Returns (exceed_counts [S] int32, obs [S]).
     """
     S, n_pad = w_seg.shape
@@ -361,8 +373,15 @@ def _perm_round_device(
     n_rows = jnp.concatenate([n_seg, jnp.take(n_seg, seg_of_row)])
 
     idx = jnp.arange(n_pad, dtype=jnp.uint32)
-    B = seg_of_row.shape[0]
-    rand = jax.random.bits(key, (B, n_pad), dtype=jnp.uint32)
+
+    def row_bits(salt, lo, hi, d):
+        k = jax.random.fold_in(base_key, salt)
+        k = jax.random.fold_in(k, lo)
+        k = jax.random.fold_in(k, hi)
+        k = jax.random.fold_in(k, d)
+        return jax.random.bits(k, (n_pad,), dtype=jnp.uint32)
+
+    rand = jax.vmap(row_bits)(row_salt, row_lo, row_hi, row_draw)
     rand = rand & jnp.uint32(0x7FFFFFFF)
     # Real slots get random keys; padding slots sort to the tail in index
     # order.  The S observed rows get plain index keys == identity.
@@ -374,7 +393,8 @@ def _perm_round_device(
 
     best = _max_t_rows_impl(w_p, wx_p, n_rows, lengths, min_width, kmax)
     obs = best[:S]
-    ex = (best[S:] >= jnp.take(obs, seg_of_row)) & row_live
+    obs_cmp = obs_ext if use_ext_obs else obs
+    ex = (best[S:] >= jnp.take(obs_cmp, seg_of_row)) & row_live
     counts = jnp.zeros(S, jnp.int32).at[seg_of_row].add(ex.astype(jnp.int32))
     return counts, obs
 
@@ -534,25 +554,21 @@ def _seg_tables(items, jobs, n_pad, dtype, s_pad):
     return w_seg, wx_seg, n_seg
 
 
-class _KeySeq:
-    """Deterministic per-dispatch PRNG keys / host RNGs from cfg.seed."""
+def _job_salt(x: np.ndarray, w: np.ndarray) -> int:
+    """Content-derived PRNG salt for one job.
 
-    def __init__(self, seed):
-        self.seed = 0 if seed is None else int(seed)
-        self.counter = 0
+    Every permutation draw is keyed by (seed, salt, segment lo/hi, draw
+    index), so a segment's Monte-Carlo stream is a pure function of the
+    data it tests — independent of which other chromosomes/samples share
+    its device batches and of multi-host shard composition (the round-3
+    global dispatch counter made sharded-vs-solo equality hold only away
+    from the alpha boundary)."""
+    import zlib
 
-    def next_key(self):
-        self.counter += 1
-        return jax.random.fold_in(
-            jax.random.PRNGKey(self.seed), self.counter
-        )
-
-    def next_rng(self):
-        self.counter += 1
-        return np.random.default_rng([self.seed, self.counter])
+    return zlib.crc32(w.tobytes(), zlib.crc32(x.tobytes())) & 0x7FFFFFFF
 
 
-def _decide_group(items, jobs, n_pad, mode, cfg, keyseq, on_tpu, dtype):
+def _decide_group(items, jobs, salts, n_pad, mode, cfg, seed, on_tpu, dtype):
     """Decide split significance for every item of one (bucket, mode)
     group; fills ``it.decision`` (and exceed/done diagnostics)."""
     lengths_np = _group_lengths(n_pad, cfg, mode)
@@ -562,12 +578,21 @@ def _decide_group(items, jobs, n_pad, mode, cfg, keyseq, on_tpu, dtype):
 
     # Threshold mode and the hybrid tail test need the observed statistic
     # on host; the pure-perm TPU path computes it inside the fused round
-    # instead (one fewer round trip).
+    # instead (one fewer round trip).  The hybrid observed statistic is
+    # evaluated over the FULL (thinned) arc family — DNAcopy compares both
+    # the analytic tail bound and the short-arc permutation maxima against
+    # the observed full max, not a short-only max (which would shrink b,
+    # inflate p_tail, and miss splits whose max |T| sits on a long arc).
     need_obs = (
         cfg.t_threshold is not None or mode == "short" or not on_tpu
     )
     budgets = {}
     if need_obs:
+        obs_lengths = (
+            jnp.asarray(_group_lengths(n_pad, cfg, "thin"))
+            if mode == "short"
+            else lengths
+        )
         for chunk in _chunks(items, cfg.seg_batch):
             w_seg, wx_seg, n_seg = _seg_tables(
                 chunk, jobs, n_pad, dtype, cfg.seg_batch
@@ -575,7 +600,7 @@ def _decide_group(items, jobs, n_pad, mode, cfg, keyseq, on_tpu, dtype):
             obs = np.asarray(
                 _max_t_rows(
                     jnp.asarray(w_seg), jnp.asarray(wx_seg),
-                    jnp.asarray(n_seg), lengths, mw, kmax,
+                    jnp.asarray(n_seg), obs_lengths, mw, kmax,
                 )
             )
             for s, it in enumerate(chunk):
@@ -604,25 +629,46 @@ def _decide_group(items, jobs, n_pad, mode, cfg, keyseq, on_tpu, dtype):
         alpha = budgets[id(it)][1] if id(it) in budgets else cfg.alpha
         it.max_ones = int(np.floor(cfg.nperm * alpha)) + 1
 
+    ext_obs = (
+        {id(it): budgets[id(it)][0] for it in undecided}
+        if mode == "short"
+        else None
+    )
     for chunk in _chunks(undecided, cfg.seg_batch):
         if on_tpu:
-            _perm_loop_tpu(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype)
+            _perm_loop_tpu(
+                chunk, jobs, salts, n_pad, lengths, cfg, seed, dtype,
+                ext_obs=ext_obs,
+            )
         else:
             _perm_loop_host(
-                chunk, jobs, n_pad, lengths, cfg, keyseq, dtype,
+                chunk, jobs, salts, n_pad, lengths, cfg, seed, dtype,
                 obs={id(it): budgets[id(it)][0] for it in chunk},
             )
 
 
-def _perm_loop_tpu(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype):
+def _perm_loop_tpu(
+    chunk, jobs, salts, n_pad, lengths, cfg, seed, dtype, ext_obs=None
+):
     """Batched early-terminating permutation loop, one fused dispatch per
-    round (TPU path: permutations generate on device)."""
+    round (TPU path: permutations generate on device).
+
+    ``ext_obs`` (hybrid mode): per-item observed statistic computed over
+    the full family on host; when given, permutation maxima compare
+    against it instead of the in-program observed rows."""
     w_seg, wx_seg, n_seg = _seg_tables(
         chunk, jobs, n_pad, dtype, cfg.seg_batch
     )
     w_j = jnp.asarray(w_seg)
     wx_j = jnp.asarray(wx_seg)
     n_j = jnp.asarray(n_seg)
+    base_key = jax.random.PRNGKey(0 if seed is None else int(seed))
+    use_ext = ext_obs is not None
+    obs_ext = np.zeros(cfg.seg_batch, dtype=dtype)
+    if use_ext:
+        for s, it in enumerate(chunk):
+            obs_ext[s] = ext_obs[id(it)]
+    obs_ext = jnp.asarray(obs_ext)
     B = max(64, min(cfg.row_elems // n_pad, 1 << 16))
 
     def live(it):
@@ -634,15 +680,27 @@ def _perm_loop_tpu(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype):
         counts = _alloc_rows(B, active, remaining)
         seg_of_row = np.zeros(B, dtype=np.int32)
         row_live = np.zeros(B, dtype=bool)
+        row_salt = np.zeros(B, dtype=np.int32)
+        row_lo = np.zeros(B, dtype=np.int32)
+        row_hi = np.zeros(B, dtype=np.int32)
+        row_draw = np.zeros(B, dtype=np.int32)
         r = 0
         for pos, s in enumerate(active):
-            seg_of_row[r : r + counts[pos]] = s
-            row_live[r : r + counts[pos]] = True
-            r += counts[pos]
+            k = counts[pos]
+            it = chunk[s]
+            seg_of_row[r : r + k] = s
+            row_live[r : r + k] = True
+            row_salt[r : r + k] = salts[it.ji]
+            row_lo[r : r + k] = it.lo
+            row_hi[r : r + k] = it.hi
+            row_draw[r : r + k] = np.arange(it.done, it.done + k)
+            r += k
         ex_counts, _ = _perm_round_device(
-            keyseq.next_key(), w_j, wx_j, n_j,
-            jnp.asarray(seg_of_row), jnp.asarray(row_live), lengths,
-            cfg.min_width, cfg.kmax,
+            base_key, w_j, wx_j, n_j,
+            jnp.asarray(seg_of_row), jnp.asarray(row_live),
+            jnp.asarray(row_salt), jnp.asarray(row_lo),
+            jnp.asarray(row_hi), jnp.asarray(row_draw),
+            obs_ext, lengths, cfg.min_width, cfg.kmax, use_ext,
         )
         ex_counts = np.asarray(ex_counts)
         for pos, s in enumerate(active):
@@ -658,10 +716,15 @@ def _perm_loop_tpu(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype):
             it.decision = it.exceed < it.max_ones
 
 
-def _perm_loop_host(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype, obs):
+def _perm_loop_host(chunk, jobs, salts, n_pad, lengths, cfg, seed, dtype, obs):
     """CPU path: numpy Fisher-Yates permutation rows (faster than an
-    interpreted 100-stage sorting network), same decision logic."""
+    interpreted 100-stage sorting network), same decision logic.
+
+    Draw ``d`` for a segment is generated by an rng seeded with
+    (seed, salt, lo, hi, d) — composition-independent, like the TPU path
+    (the two paths' streams differ from each other by design)."""
     B = max(64, int(cfg.perm_batch))
+    seedval = 0 if seed is None else int(seed)
 
     def live(it):
         return it.decision is None and it.done < cfg.nperm
@@ -674,7 +737,6 @@ def _perm_loop_host(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype, obs):
         wx_rows = np.zeros((B, n_pad), dtype=dtype)
         n_rows = np.zeros(B, dtype=np.int32)
         row_seg = np.full(B, -1, dtype=np.int64)
-        rng = keyseq.next_rng()
         r = 0
         for pos, s in enumerate(active):
             it = chunk[s]
@@ -684,8 +746,13 @@ def _perm_loop_host(chunk, jobs, n_pad, lengths, cfg, keyseq, dtype, obs):
             k = counts[pos]
             if not k:
                 continue
-            order = rng.permuted(
-                np.tile(np.arange(it.n), (k, 1)), axis=1
+            order = np.stack(
+                [
+                    np.random.default_rng(
+                        [seedval, salts[it.ji], it.lo, it.hi, it.done + j]
+                    ).permutation(it.n)
+                    for j in range(k)
+                ]
             )
             w_rows[r : r + k, : it.n] = ww[order]
             wx_rows[r : r + k, : it.n] = wx[order]
@@ -717,7 +784,7 @@ def _chunks(seq, size):
         yield seq[a : a + size]
 
 
-def _segment_jobs(jobs: list, cfg: CBSConfig, seed_extra=()) -> list:
+def _segment_jobs(jobs: list, cfg: CBSConfig) -> list:
     """Level-synchronous recursive CBS over many value vectors at once.
 
     ``jobs`` is a list of (x, w) float64 arrays — one per chromosome (and,
@@ -726,15 +793,15 @@ def _segment_jobs(jobs: list, cfg: CBSConfig, seed_extra=()) -> list:
     grouped by size bucket and decided by batched device programs — the
     round-trip count is per *level x bucket*, not per segment
     (round-2 profile: 1429 dispatches, ~190 ms each, for one genome).
+
+    Permutation streams are keyed per segment by (cfg.seed, content salt,
+    lo, hi, draw index): results for one job are identical however the
+    jobs are batched (solo, plate, multi-host shard).
     """
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float64  # downcast to f32 happens on device transfer
-    keyseq = _KeySeq(
-        cfg.seed if not seed_extra
-        else np.random.SeedSequence(
-            [0 if cfg.seed is None else cfg.seed, *seed_extra]
-        ).generate_state(1)[0]
-    )
+    seed = cfg.seed
+    salts = [_job_salt(x, w) for x, w in jobs]
     results = [[] for _ in jobs]
     pending = [
         _Item(ji, 0, len(x)) for ji, (x, w) in enumerate(jobs) if len(x)
@@ -765,7 +832,7 @@ def _segment_jobs(jobs: list, cfg: CBSConfig, seed_extra=()) -> list:
 
         for (n_pad, mode), items in sorted(groups.items(), reverse=True):
             _decide_group(
-                items, jobs, n_pad, mode, cfg, keyseq, on_tpu, dtype
+                items, jobs, salts, n_pad, mode, cfg, seed, on_tpu, dtype
             )
 
         # Locate accepted splits with the exact scan, batched per bucket.
@@ -809,16 +876,19 @@ def _segment_jobs(jobs: list, cfg: CBSConfig, seed_extra=()) -> list:
     return [sorted(r) for r in results]
 
 
-def _segment_values(x, w, cfg: CBSConfig, chrom_seed):
+def _segment_values(x, w, cfg: CBSConfig, chrom_seed=()):
     """Recursive CBS over one chromosome's non-NA values (thin wrapper
     over the batched engine; kept as the unit-test surface).
 
+    ``chrom_seed`` is accepted for API compatibility but unused: streams
+    are keyed by data content now (see :func:`_job_salt`), so a job's
+    segmentation no longer depends on any caller-supplied position salt.
+
     Returns a sorted list of (lo, hi) half-open index ranges.
     """
+    del chrom_seed
     return _segment_jobs(
-        [(np.asarray(x, np.float64), np.asarray(w, np.float64))],
-        cfg,
-        seed_extra=tuple(int(v) for v in chrom_seed),
+        [(np.asarray(x, np.float64), np.asarray(w, np.float64))], cfg
     )[0]
 
 

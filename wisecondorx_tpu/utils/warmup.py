@@ -238,13 +238,18 @@ def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
     B = max(64, min(cfg.row_elems // n_pad, 1 << 16))
     seg_of_row = jnp.asarray(np.zeros(B, dtype=np.int32))
     row_live = jnp.asarray(np.ones(B, dtype=bool))
+    row_i32 = jnp.asarray(np.zeros(B, dtype=np.int32))
+    obs_ext = jnp.asarray(np.zeros(S, dtype=np.float64))
     for mode in sorted(modes):
         lengths = jnp.asarray(cbs_ops._group_lengths(n_pad, cfg, mode))
         cbs_ops._perm_round_device(
             jax.random.PRNGKey(0), w_seg, wx_seg, n_seg,
-            seg_of_row, row_live, lengths, cfg.min_width, cfg.kmax,
+            seg_of_row, row_live, row_i32, row_i32, row_i32, row_i32,
+            obs_ext, lengths, cfg.min_width, cfg.kmax, mode == "short",
         )
         if cfg.t_threshold is not None or mode == "short":
+            # Hybrid obs runs over the thin family; same [_LFIX] operand
+            # shape as "short", so one _max_t_rows compile covers both.
             cbs_ops._max_t_rows(
                 w_seg, wx_seg, n_seg, lengths, cfg.min_width, cfg.kmax
             )
