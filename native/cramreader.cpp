@@ -316,6 +316,290 @@ std::vector<uint8_t> rans_decode(const uint8_t* in, size_t n,
   return out;
 }
 
+// ------------------------------------------------- rANS Nx16 (CRAM 3.1)
+//
+// CRAMcodecs "rANS Nx16" entropy coder + bit-stream transforms, the
+// default block codec of CRAM 3.1 emitters: 16-bit renormalizing rANS
+// with 4 or 32 interleaved states (flag 0x04), order-0/1 contexts, and
+// the PACK (0x80), RLE (0x40), STRIPE (0x08) and CAT (0x20) transforms;
+// NOSZ (0x10) suppresses the stored size inside STRIPE sub-streams.
+// Implemented from the published specification; cross-checked against an
+// independently written Python encoder (tests/cramtools.py) — the image
+// has no htslib to generate golden bytes (ROADMAP.md).
+
+constexpr uint32_t kNxLow = 1u << 15;
+
+uint32_t uint7(Cursor& c) {
+  uint32_t v = 0;
+  uint8_t b;
+  do {
+    b = c.byte();
+    v = (v << 7) | (b & 0x7F);
+  } while (b & 0x80);
+  return v;
+}
+
+// Used-symbol list: ascending bytes, 0-terminated (a leading 0 is a real
+// symbol); x followed by x+1 starts an RLE run whose length byte follows.
+std::vector<int> nx16_alphabet(Cursor& c) {
+  std::vector<int> A;
+  int rle = 0;
+  int sym = c.byte();
+  int last = sym;
+  do {
+    A.push_back(sym);
+    if (rle) {
+      rle--;
+      sym++;
+    } else {
+      sym = c.byte();
+      if (sym == last + 1) rle = c.byte();
+    }
+    last = sym;
+  } while (sym != 0);
+  if (A.size() > 256) throw CramError("rANS-Nx16 alphabet overflow");
+  return A;
+}
+
+struct NxTable {
+  int shift = 12;
+  uint32_t freq[256] = {0};
+  uint32_t cum[256] = {0};
+  std::vector<uint8_t> slot2sym;
+
+  void finish() {
+    uint32_t tot = 1u << shift;
+    slot2sym.resize(tot);
+    uint32_t cac = 0;
+    for (int s = 0; s < 256; s++) {
+      cum[s] = cac;
+      for (uint32_t k = 0; k < freq[s] && cac + k < tot; k++)
+        slot2sym[cac + k] = (uint8_t)s;
+      cac += freq[s];
+      if (cac > tot) throw CramError("rANS-Nx16 frequency overflow");
+    }
+  }
+};
+
+// Order-0 frequency table: alphabet, then per-symbol uint7 frequencies
+// normalized to sum 1<<12.
+void nx16_freqs_o0(Cursor& c, NxTable& t) {
+  t.shift = 12;
+  for (int s : nx16_alphabet(c)) t.freq[s] = uint7(c);
+  t.finish();
+}
+
+// Raw order-0/1 Nx16 entropy decode of ``out_sz`` bytes with N states.
+std::vector<uint8_t> nx16_entropy(Cursor& c, size_t out_sz, int order,
+                                  int N) {
+  std::vector<uint8_t> out(out_sz);
+  if (out_sz == 0) return out;
+  std::vector<uint32_t> R(N);
+
+  auto step = [&](NxTable& t, uint32_t& r) -> uint8_t {
+    uint32_t mask = (1u << t.shift) - 1;
+    uint32_t slot = r & mask;
+    uint8_t s = t.slot2sym[slot];
+    r = t.freq[s] * (r >> t.shift) + slot - t.cum[s];
+    if (r < kNxLow) {
+      uint32_t lo = c.byte();
+      lo |= (uint32_t)c.byte() << 8;  // 16-bit little-endian renorm
+      r = (r << 16) | lo;
+    }
+    return s;
+  };
+
+  if (order == 0) {
+    NxTable t;
+    nx16_freqs_o0(c, t);
+    for (int j = 0; j < N; j++) R[j] = c.u32le();
+    for (size_t i = 0; i < out_sz; i++) out[i] = step(t, R[i % N]);
+    return out;
+  }
+
+  // Order-1: optionally order-0-compressed table; shared symbol
+  // alphabet; per-context rows with zero-run shortening; row sums
+  // normalized to 1<<shift (12, or 10 in the "fast" profile).
+  uint8_t tab_flags = c.byte();
+  int shift = tab_flags >> 4;
+  std::vector<uint8_t> tab_buf;
+  Cursor tc{nullptr, nullptr};
+  if (tab_flags & 1) {
+    uint32_t u_sz = uint7(c);
+    uint32_t c_sz = uint7(c);
+    Cursor sub{c.p, c.p + c_sz};
+    if (c.p + c_sz > c.end) throw CramError("rANS-Nx16 table overrun");
+    tab_buf = nx16_entropy(sub, u_sz, 0, 4);
+    c.p += c_sz;
+    tc = Cursor{tab_buf.data(), tab_buf.data() + tab_buf.size()};
+  } else {
+    tc = c;
+  }
+  std::vector<int> A = nx16_alphabet(tc);
+  std::vector<NxTable> tables(256);
+  for (int i : A) {
+    NxTable& t = tables[i];
+    t.shift = shift;
+    int run = 0;
+    for (int j : A) {
+      if (run > 0) {
+        run--;
+        t.freq[j] = 0;
+        continue;
+      }
+      uint32_t fr = uint7(tc);
+      t.freq[j] = fr;
+      if (fr == 0) run = tc.byte();
+    }
+    t.finish();
+  }
+  if (!(tab_flags & 1)) c = tc;  // advance past the in-line table
+
+  for (int j = 0; j < N; j++) R[j] = c.u32le();
+  size_t q = out_sz / N;
+  std::vector<size_t> pos(N);
+  std::vector<uint8_t> last(N, 0);
+  for (int j = 0; j < N; j++) pos[j] = j * q;
+  for (size_t i = 0; i < q; i++) {
+    for (int j = 0; j < N; j++) {
+      uint8_t s = step(tables[last[j]], R[j]);
+      out[pos[j]++] = s;
+      last[j] = s;
+    }
+  }
+  for (size_t i = pos[N - 1]; i < out_sz; i++) {  // tail: last state
+    uint8_t s = step(tables[last[N - 1]], R[N - 1]);
+    out[i] = s;
+    last[N - 1] = s;
+  }
+  return out;
+}
+
+// Full rANS-Nx16 stream: flag byte + transforms (CRAMcodecs section 3).
+// ``size_hint``: expected output size (used when NOSZ suppresses the
+// stored one — STRIPE sub-streams — and verified otherwise).
+std::vector<uint8_t> rans_nx16_decode(const uint8_t* in, size_t n,
+                                      size_t size_hint) {
+  Cursor c{in, in + n};
+  uint8_t flags = c.byte();
+  const bool f_order = flags & 0x01;
+  const bool f_x32 = flags & 0x04;
+  const bool f_stripe = flags & 0x08;
+  const bool f_nosz = flags & 0x10;
+  const bool f_cat = flags & 0x20;
+  const bool f_rle = flags & 0x40;
+  const bool f_pack = flags & 0x80;
+  size_t len = f_nosz ? size_hint : uint7(c);
+  if (!f_nosz && size_hint && len != size_hint)
+    throw CramError("rANS-Nx16 size mismatch");
+
+  if (f_stripe) {
+    int N = c.byte();
+    if (N <= 0) throw CramError("rANS-Nx16 stripe with zero streams");
+    std::vector<uint32_t> clen(N);
+    for (int j = 0; j < N; j++) clen[j] = uint7(c);
+    std::vector<std::vector<uint8_t>> sub(N);
+    for (int j = 0; j < N; j++) {
+      if (c.p + clen[j] > c.end)
+        throw CramError("rANS-Nx16 stripe overrun");
+      size_t sub_len = (len - j + N - 1) / N;  // count of i: i%N == j
+      sub[j] = rans_nx16_decode(c.p, clen[j], sub_len);
+      c.p += clen[j];
+    }
+    std::vector<uint8_t> out(len);
+    for (size_t i = 0; i < len; i++) out[i] = sub[i % N][i / N];
+    return out;
+  }
+
+  // Transform metadata (read order: PACK, then RLE; applied in reverse).
+  std::vector<uint8_t> pack_syms;
+  size_t pack_len = 0;
+  if (f_pack) {
+    int nsym = c.byte();
+    pack_syms.resize(nsym);
+    for (int i = 0; i < nsym; i++) pack_syms[i] = c.byte();
+    pack_len = uint7(c);
+  }
+  std::vector<uint8_t> rle_meta;
+  size_t rle_lit_len = 0;
+  if (f_rle) {
+    uint32_t meta_len = uint7(c);
+    rle_lit_len = uint7(c);
+    if (meta_len & 1) {
+      size_t m = meta_len >> 1;
+      if (c.p + m > c.end) throw CramError("rANS-Nx16 rle meta overrun");
+      rle_meta.assign(c.p, c.p + m);
+      c.p += m;
+    } else {
+      uint32_t u_meta = uint7(c);
+      size_t m = meta_len >> 1;
+      if (c.p + m > c.end) throw CramError("rANS-Nx16 rle meta overrun");
+      Cursor sub{c.p, c.p + m};
+      rle_meta = nx16_entropy(sub, u_meta, 0, 4);
+      c.p += m;
+    }
+  }
+
+  size_t entropy_sz = f_rle ? rle_lit_len : (f_pack ? pack_len : len);
+  std::vector<uint8_t> data;
+  if (f_cat) {
+    if (c.p + entropy_sz > c.end) throw CramError("rANS-Nx16 cat overrun");
+    data.assign(c.p, c.p + entropy_sz);
+    c.p += entropy_sz;
+  } else {
+    data = nx16_entropy(c, entropy_sz, f_order ? 1 : 0, f_x32 ? 32 : 4);
+  }
+
+  if (f_rle) {
+    // Literal stream + meta: [n run symbols (0 => 256), the symbols,
+    // then per-occurrence run lengths as uint7 in literal order].
+    size_t target = f_pack ? pack_len : len;
+    Cursor mc{rle_meta.data(), rle_meta.data() + rle_meta.size()};
+    int nrun = mc.byte();
+    if (nrun == 0) nrun = 256;
+    bool is_run[256] = {false};
+    for (int i = 0; i < nrun; i++) is_run[mc.byte()] = true;
+    std::vector<uint8_t> expanded;
+    expanded.reserve(target);
+    for (uint8_t b : data) {
+      expanded.push_back(b);
+      if (is_run[b]) {
+        uint32_t run = uint7(mc);
+        expanded.insert(expanded.end(), run, b);
+      }
+    }
+    if (expanded.size() != target)
+      throw CramError("rANS-Nx16 rle length mismatch");
+    data = std::move(expanded);
+  }
+
+  if (f_pack) {
+    size_t nsym = pack_syms.size();
+    std::vector<uint8_t> unpacked(len);
+    if (nsym <= 1) {
+      if (nsym == 0) throw CramError("rANS-Nx16 pack without symbols");
+      std::fill(unpacked.begin(), unpacked.end(), pack_syms[0]);
+    } else {
+      int bits = nsym <= 2 ? 1 : nsym <= 4 ? 2 : nsym <= 16 ? 4 : 0;
+      if (!bits)
+        throw CramError("rANS-Nx16 pack with more than 16 symbols");
+      int per = 8 / bits;
+      uint32_t mask = (1u << bits) - 1;
+      for (size_t i = 0; i < len; i++) {
+        uint8_t byteval = data[i / per];
+        uint32_t v = (byteval >> ((i % per) * bits)) & mask;
+        if (v >= nsym) throw CramError("rANS-Nx16 pack symbol overflow");
+        unpacked[i] = pack_syms[v];
+      }
+    }
+    data = std::move(unpacked);
+  }
+
+  if (data.size() != len)
+    throw CramError("rANS-Nx16 output length mismatch");
+  return data;
+}
+
 // ---------------------------------------------------------------- blocks
 
 struct Block {
@@ -336,6 +620,25 @@ struct Block {
                                   raw_size);
       case 4: return rans_decode(compressed.data(), compressed.size(),
                                  raw_size);
+      case 5: return rans_nx16_decode(compressed.data(),
+                                      compressed.size(), raw_size);
+      // Remaining CRAM 3.1 codecs, named precisely so a failing file is
+      // diagnosable.  They compress series the binner never reads (read
+      // names, qualities), and blocks decode lazily — these fire only if
+      // an emitter applied one to a needed integer series.
+      case 6:
+        throw CramError(
+            "CRAM 3.1 adaptive arithmetic codec not supported (block "
+            "content id " + std::to_string(content_id) + "); re-encode "
+            "with rANS (samtools view --output-fmt-option archive=0)");
+      case 7:
+        throw CramError(
+            "CRAM 3.1 fqzcomp codec not supported (block content id " +
+            std::to_string(content_id) + ")");
+      case 8:
+        throw CramError(
+            "CRAM 3.1 name-tokenizer codec not supported (block content "
+            "id " + std::to_string(content_id) + ")");
       default:
         throw CramError("unsupported block compression method " +
                         std::to_string(method));
@@ -897,6 +1200,23 @@ void wcx_cram_close(void* handle) {
   auto* cram = static_cast<CramFile*>(handle);
   cram->close();
   delete cram;
+}
+
+// Test-only: decode one rANS-Nx16 stream directly (cross-language codec
+// cross-check against the independent Python encoder in
+// tests/cramtools.py).  Returns 0 on success, -1 on any decode error or
+// output-length mismatch.
+int wcx_rans_nx16_test(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t out_len) {
+  try {
+    std::vector<uint8_t> dec =
+        rans_nx16_decode(in, (size_t)n, (size_t)out_len);
+    if ((int64_t)dec.size() != out_len) return -1;
+    memcpy(out, dec.data(), dec.size());
+    return 0;
+  } catch (const std::exception&) {
+    return -1;
+  }
 }
 
 }  // extern "C"

@@ -57,17 +57,23 @@ TOT = 1 << 12
 
 def _norm_freqs(counts):
     total = sum(counts.values())
-    freqs = {}
-    acc = 0
     items = sorted(counts.items())
-    for i, (s, c) in enumerate(items):
-        f = max(1, round(c * TOT / total))
-        freqs[s] = f
-        acc += f
-    # fix to exactly TOT on the most frequent symbol
-    top = max(freqs, key=lambda s: freqs[s])
-    freqs[top] += TOT - acc
-    assert freqs[top] > 0
+    freqs = {s: max(1, round(c * TOT / total)) for s, c in items}
+    acc = sum(freqs.values())
+    # Fix the sum to exactly TOT, spreading over the largest frequencies
+    # and never driving any below 1 (a single-symbol correction can go
+    # negative for dense alphabets of near-uniform tiny counts).
+    for s in sorted(freqs, key=lambda s: -freqs[s]):
+        if acc == TOT:
+            break
+        if acc < TOT:
+            freqs[s] += TOT - acc
+            acc = TOT
+        else:
+            take = min(freqs[s] - 1, acc - TOT)
+            freqs[s] -= take
+            acc -= take
+    assert acc == TOT, "cannot normalize: alphabet larger than TOT"
     return freqs
 
 
@@ -212,10 +218,279 @@ def rans1_compress(data: bytes) -> bytes:
     return bytes([1]) + struct.pack("<II", len(body), n) + body
 
 
+
+
+# ------------------------------------------------- rANS Nx16 (CRAM 3.1)
+#
+# Independent encoder for the CRAM 3.1 "rANS Nx16" codec (CRAMcodecs
+# section 3): 16-bit-renormalizing rANS with 4 or 32 interleaved states,
+# order-0/1, and the PACK / RLE / STRIPE / CAT transforms.  Written from
+# the published specification separately from the C++ decoder
+# (native/cramreader.cpp) so the two implementations cross-check each
+# other -- the image has no htslib to emit golden bytes.
+
+NX_LOW = 1 << 15
+NX_TOT = 1 << 12  # order-0 normalization (shift 12)
+
+
+def uint7(v: int) -> bytes:
+    """Big-endian 7-bit-group varint (continuation in the top bit)."""
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def _nx_alphabet(syms) -> bytes:
+    """Used-symbol list: ascending, 0-terminated; x followed by x+1
+    starts a run whose length byte counts further implicit symbols."""
+    syms = sorted(syms)
+    out = bytearray()
+    i = 0
+    while i < len(syms):
+        s = syms[i]
+        run = 0
+        while i + 1 + run < len(syms) and syms[i + 1 + run] == s + 1 + run:
+            run += 1
+        out.append(s)
+        if run > 0:
+            out.append(s + 1)
+            out.append(run - 1)
+        i += 1 + run
+    out.append(0)
+    return bytes(out)
+
+
+def _nx_entropy0(data: bytes, N: int) -> bytes:
+    """Raw order-0 Nx16 entropy payload: freq table + N states + words."""
+    if len(data) == 0:
+        return b""  # the decoder reads nothing for an empty stream
+    counts = {}
+    for b in data:
+        counts[b] = counts.get(b, 0) + 1
+    F = _norm_freqs(counts)
+    C = _cum(F)
+    states = [NX_LOW] * N
+    words = []
+    for i in reversed(range(len(data))):
+        s = data[i]
+        j = i % N
+        x = states[j]
+        f = F[s]
+        x_max = ((NX_LOW >> 12) << 16) * f
+        while x >= x_max:
+            words.append(struct.pack("<H", x & 0xFFFF))
+            x >>= 16
+        states[j] = ((x // f) << 12) + (x % f) + C[s]
+    table = _nx_alphabet(F) + b"".join(uint7(F[s]) for s in sorted(F))
+    return (
+        table
+        + b"".join(struct.pack("<I", states[j]) for j in range(N))
+        + b"".join(reversed(words))
+    )
+
+
+def _nx_entropy1(data: bytes, N: int, compress_table=False) -> bytes:
+    """Raw order-1 Nx16 payload: table flags + freq table + states + words.
+
+    Streams: state j decodes the contiguous fragment [j*q, (j+1)*q)
+    (q = len // N) with state N-1 continuing through the tail; each
+    fragment starts from context 0.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    shift = 12
+    q = n // N
+
+    counts = {}
+
+    def bump(ctx, sym):
+        counts.setdefault(ctx, {})
+        counts[ctx][sym] = counts[ctx].get(sym, 0) + 1
+
+    for j in range(N):
+        a = j * q
+        b = (j + 1) * q if j < N - 1 else n
+        if a < b:
+            bump(0, data[a])
+            for p in range(a + 1, b):
+                bump(data[p - 1], data[p])
+
+    F = {ctx: _norm_freqs(c) for ctx, c in counts.items()}
+    C = {ctx: _cum(f) for ctx, f in F.items()}
+
+    states = [NX_LOW] * N
+    words = []
+
+    def enc(j, ctx, sym):
+        x = states[j]
+        f = F[ctx][sym]
+        x_max = ((NX_LOW >> shift) << 16) * f
+        while x >= x_max:
+            words.append(struct.pack("<H", x & 0xFFFF))
+            x >>= 16
+        states[j] = ((x // f) << shift) + (x % f) + C[ctx][sym]
+
+    # Reverse of the decoder: tail (state N-1) first, then the main loop
+    # from the last row up, states N-1..0 within a row.
+    for p in reversed(range(N * q, n)):
+        ctx = 0 if p == (N - 1) * q else data[p - 1]
+        enc(N - 1, ctx, data[p])
+    for i in reversed(range(q)):
+        for j in reversed(range(N)):
+            p = j * q + i
+            ctx = 0 if i == 0 else data[p - 1]
+            enc(j, ctx, data[p])
+
+    # Frequency table: one shared alphabet (symbols + used contexts),
+    # then per-context rows over the alphabet with zero-run shortening.
+    A = sorted(set(data) | set(F))
+    rows = bytearray()
+    rows += _nx_alphabet(A)
+    for i in A:
+        row = [F.get(i, {}).get(j, 0) for j in A]
+        k = 0
+        while k < len(row):
+            rows += uint7(row[k])
+            if row[k] == 0:
+                z = 0
+                while k + 1 + z < len(row) and row[k + 1 + z] == 0 and z < 255:
+                    z += 1
+                rows.append(z)
+                k += z
+            k += 1
+
+    if compress_table:
+        comp = _nx_entropy0(bytes(rows), 4)
+        table = (
+            bytes([(shift << 4) | 1])
+            + uint7(len(rows))
+            + uint7(len(comp))
+            + comp
+        )
+    else:
+        table = bytes([shift << 4]) + bytes(rows)
+
+    return (
+        table
+        + b"".join(struct.pack("<I", states[j]) for j in range(N))
+        + b"".join(reversed(words))
+    )
+
+
+def rans_nx16_compress(
+    data: bytes,
+    *,
+    order: int = 0,
+    x32: bool = False,
+    pack: bool = False,
+    rle: bool = False,
+    stripe: int = 0,
+    cat: bool = False,
+    nosz: bool = False,
+    compress_table: bool = False,
+    rle_compress_meta: bool = False,
+) -> bytes:
+    """Full rANS-Nx16 stream (flag byte + transforms + entropy payload)."""
+    flags = (
+        (0x01 if order else 0)
+        | (0x04 if x32 else 0)
+        | (0x08 if stripe else 0)
+        | (0x10 if nosz else 0)
+        | (0x20 if cat else 0)
+        | (0x40 if rle else 0)
+        | (0x80 if pack else 0)
+    )
+    out = bytearray([flags])
+    if not nosz:
+        out += uint7(len(data))
+
+    if stripe:
+        N = stripe
+        subs = [
+            rans_nx16_compress(
+                data[j::N], order=order, x32=x32, nosz=True
+            )
+            for j in range(N)
+        ]
+        out.append(N)
+        for s in subs:
+            out += uint7(len(s))
+        for s in subs:
+            out += s
+        return bytes(out)
+
+    d = data
+    if pack and len(set(d)) > 16:
+        # htslib's encoder is adaptive too: PACK only applies to
+        # small-alphabet streams.
+        return rans_nx16_compress(
+            data, order=order, x32=x32, rle=rle, cat=cat, nosz=nosz,
+            compress_table=compress_table,
+            rle_compress_meta=rle_compress_meta,
+        )
+    if pack:
+        syms = sorted(set(d)) or [0]
+        out.append(len(syms))
+        out += bytes(syms)
+        if len(syms) <= 1:
+            packed = b""
+        else:
+            bits = 1 if len(syms) <= 2 else 2 if len(syms) <= 4 else 4
+            per = 8 // bits
+            idx = {s: i for i, s in enumerate(syms)}
+            packed = bytearray((len(d) + per - 1) // per)
+            for i, b in enumerate(d):
+                packed[i // per] |= idx[b] << ((i % per) * bits)
+            packed = bytes(packed)
+        out += uint7(len(packed))
+        d = packed
+
+    if rle:
+        # All 256 symbols are run symbols (nrun byte 0 => 256).
+        lits = bytearray()
+        runs = bytearray()
+        i = 0
+        while i < len(d):
+            j = i
+            while j < len(d) and d[j] == d[i]:
+                j += 1
+            lits.append(d[i])
+            runs += uint7(j - i - 1)
+            i = j
+        meta = bytes([0]) + bytes(range(256)) + bytes(runs)
+        if rle_compress_meta:
+            comp = _nx_entropy0(meta, 4)
+            out += uint7(len(comp) << 1)  # bit 0 clear: compressed
+            out += uint7(len(lits))
+            out += uint7(len(meta))
+            out += comp
+        else:
+            out += uint7((len(meta) << 1) | 1)  # bit 0 set: raw meta
+            out += uint7(len(lits))
+            out += meta
+        d = bytes(lits)
+
+    if cat:
+        out += d
+    elif order:
+        out += _nx_entropy1(d, 32 if x32 else 4,
+                            compress_table=compress_table)
+    else:
+        out += _nx_entropy0(d, 32 if x32 else 4)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- blocks
 
 METHOD = {"raw": 0, "gzip": 1, "bzip2": 2, "lzma": 3, "rans0": 4,
-          "rans1": 4}
+          "rans1": 4, "rans0_16": 5, "rans1_16": 5, "rans0_16_x32": 5,
+          "rans1_16_x32": 5, "rans_16_pack": 5, "rans_16_rle": 5,
+          "rans_16_rle_zmeta": 5, "rans_16_stripe": 5, "rans_16_cat": 5,
+          "rans1_16_ztab": 5}
 
 
 def compress(data: bytes, method: str) -> bytes:
@@ -236,6 +511,26 @@ def compress(data: bytes, method: str) -> bytes:
         return rans0_compress(data)
     if method == "rans1":
         return rans1_compress(data)
+    if method == "rans0_16":
+        return rans_nx16_compress(data)
+    if method == "rans1_16":
+        return rans_nx16_compress(data, order=1)
+    if method == "rans0_16_x32":
+        return rans_nx16_compress(data, x32=True)
+    if method == "rans1_16_x32":
+        return rans_nx16_compress(data, order=1, x32=True)
+    if method == "rans_16_pack":
+        return rans_nx16_compress(data, pack=True)
+    if method == "rans_16_rle":
+        return rans_nx16_compress(data, rle=True)
+    if method == "rans_16_rle_zmeta":
+        return rans_nx16_compress(data, rle=True, rle_compress_meta=True)
+    if method == "rans_16_stripe":
+        return rans_nx16_compress(data, stripe=4)
+    if method == "rans_16_cat":
+        return rans_nx16_compress(data, cat=True)
+    if method == "rans1_16_ztab":
+        return rans_nx16_compress(data, order=1, compress_table=True)
     raise ValueError(method)
 
 
@@ -354,8 +649,9 @@ def write_cram(
     ap_delta=True,
     bf_huffman=False,
     mq_beta=False,
+    version=(3, 0),
 ):
-    """Write a CRAM 3.0 file.
+    """Write a CRAM 3.x file.
 
     refs: list of (name, length).
     slices: list of slices; each slice is a dict with
@@ -366,7 +662,7 @@ def write_cram(
     Every slice goes into its own container.
     """
     out = bytearray()
-    out += b"CRAM" + bytes([3, 0]) + b"\x00" * 20
+    out += b"CRAM" + bytes(version) + b"\x00" * 20
 
     sam = "@HD\tVN:1.6\n"
     for name, length in refs:

@@ -37,24 +37,35 @@ def tool_convert(args):
 
 
 def tool_newref(args):
+    from concurrent.futures import ThreadPoolExecutor
+
     from wisecondorx_tpu.models.reference import (
         NewrefConfig,
         NewrefError,
         build_reference,
     )
-    from wisecondorx_tpu.ref_qc import qc_reference
+    from wisecondorx_tpu.ref_qc import qc_reference_arrays
     from wisecondorx_tpu.utils.device import warm_readback_channel
+    from wisecondorx_tpu.utils.log import stage_timer
 
     # First d2h readback of a process costs 50-900 s on the tunneled TPU;
     # initialize the channel on a thread while the input npzs parse.
     warm_readback_channel()
     logging.info("Creating new reference")
-    samples = []
-    for infile in args.infiles:
-        logging.info("Loading: %s", infile)
-        sample, binsize, _ = load_sample_npz(infile)
-        logging.info("Binsize: %d", binsize)
-        samples.append((sample, binsize))
+    with stage_timer("newref.load_inputs"):
+        # Parallel parse: the zlib decompression inside np.load releases
+        # the GIL, so a cohort of hundreds of convert npzs loads several
+        # times faster than the serial loop.
+        def load_one(infile):
+            logging.debug("Loading: %s", infile)
+            sample, binsize, _ = load_sample_npz(infile)
+            return sample, binsize
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            samples = list(pool.map(load_one, args.infiles))
+        logging.info(
+            "Loaded %d samples (binsize %d)",
+            len(samples), samples[0][1] if samples else 0,
+        )
 
     if args.plotyfrac is not None:
         # reference newref_tools.py:42-52: plot the GMM fit for --yfrac
@@ -103,14 +114,23 @@ def tool_newref(args):
     outfile = args.outfile
     if not outfile.endswith(".npz"):
         outfile += ".npz"
-    save_reference_npz(
-        outfile,
+    from wisecondorx_tpu.io.npz import flatten_reference
+
+    final = flatten_reference(
         passes,
         is_nipt=meta["is_nipt"],
         trained_cutoff=meta["trained_cutoff"],
     )
+    with stage_timer("newref.write"):
+        from wisecondorx_tpu.io.npz import _savez_fast
+
+        _savez_fast(outfile, final)
+        logging.info("Reference written to %s", outfile)
     logging.info("Running QC on the newly created reference...")
-    qc_reference(outfile)
+    with stage_timer("newref.qc"):
+        # Scored from the in-memory arrays — same flat mapping the file
+        # holds, minus the ~0.5 GB re-decompression.
+        qc_reference_arrays(final, label=outfile)
     logging.info("Finished creating reference")
 
 
@@ -161,15 +181,20 @@ def tool_test(args):
 
     logging.info("Importing data ...")
     # Compile the normalize/CBS programs (shapes read from the npz member
-    # headers) while the reference's big tables decompress.
+    # headers) while the reference's big tables decompress/stream to the
+    # device on the loader's background threads.
+    from wisecondorx_tpu.models.ref_loader import ReferenceLoader
     from wisecondorx_tpu.utils.warmup import start_predict_warmup
 
-    start_predict_warmup(args.reference)
+    start_predict_warmup(args.reference, cfg)
     sample, sample_binsize, _ = load_sample_npz(args.infile)
-    passes, meta = load_reference_npz(args.reference)
+    loader = ReferenceLoader(args.reference)
 
     try:
-        bins, segments = predict(sample, sample_binsize, passes, meta, cfg)
+        bins, segments = predict(
+            sample, sample_binsize, loader.passes, loader.meta, cfg,
+            loader=loader,
+        )
     except PredictError as e:
         logging.critical(str(e))
         sys.exit(1)
@@ -254,10 +279,31 @@ def tool_test_batch(args):
             "Process %d/%d takes %d of %d samples",
             pidx, pcount, len(infiles), len(args.infiles),
         )
+    # Skip-and-report: one corrupt npz must not abort the plate — the
+    # remaining samples are scored and the exit code reflects the
+    # partial failure (reference has no batch mode; its per-process exit
+    # semantics don't transfer to a plate CLI).
+    import pickle
+    import zipfile
+
+    from wisecondorx_tpu.errors import UserInputError
+
     loaded = []
     outids = []
+    failed = []
     for infile in infiles:
-        sample, binsize, _ = load_sample_npz(infile)
+        try:
+            sample, binsize, _ = load_sample_npz(infile)
+        except (
+            UserInputError,
+            FileNotFoundError,
+            KeyError,
+            zipfile.BadZipFile,
+            pickle.UnpicklingError,
+        ) as e:
+            logging.error("Skipping unreadable sample %s: %s", infile, e)
+            failed.append(infile)
+            continue
         loaded.append((sample, binsize))
         base = os.path.basename(infile)
         outids.append(
@@ -276,16 +322,24 @@ def tool_test_batch(args):
     )
     try:
         all_bins = predict_batch(
-            loaded, passes, meta, cfg, mesh=mesh, chunk=args.chunk
+            loaded, passes, meta, cfg, mesh=mesh, chunk=args.chunk,
+            skip_errors=True,
         )
     except PredictError as e:
         logging.critical(str(e))
         sys.exit(1)
 
+    good = []
+    for outid, bins in zip(outids, all_bins):
+        if bins is None:
+            failed.append(outid)
+        else:
+            good.append((outid, bins))
+
     # One batched CBS engine run for the whole plate: all samples'
     # segments share device dispatches instead of a per-sample host loop.
-    all_segments = segment_bins_batch(all_bins, cfg)
-    for outid, bins, segments in zip(outids, all_bins, all_segments):
+    all_segments = segment_bins_batch([b for _, b in good], cfg)
+    for (outid, bins), segments in zip(good, all_segments):
         if args.bed:
             generate_output_tables(
                 outid, bins, segments, cfg, regions=args.regions
@@ -302,6 +356,13 @@ def tool_test_batch(args):
             )
         logging.info("Wrote %s", outid)
     logging.info("Finished batch prediction")
+    if failed:
+        logging.error(
+            "%d of %d samples failed and were skipped (see errors above): "
+            "%s",
+            len(failed), len(args.infiles), ", ".join(failed),
+        )
+        sys.exit(3)
 
 
 def build_parser() -> argparse.ArgumentParser:

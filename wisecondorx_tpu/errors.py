@@ -13,3 +13,8 @@ Kept dependency-free: the CLI imports it before any heavy (jax) module.
 
 class UserInputError(Exception):
     """A condition caused by user inputs/flags, not by a bug."""
+
+
+class BedParseError(ValueError, UserInputError):
+    """A malformed row in a user-supplied BED-ish file (blacklist /
+    regions); message carries file and line number."""

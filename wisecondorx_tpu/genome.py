@@ -123,7 +123,9 @@ class MaskedLayout:
 
     # -- index space translation ------------------------------------------
 
-    def neighbour_to_global(self, neighbour_idx: np.ndarray) -> np.ndarray:
+    def neighbour_to_global(
+        self, neighbour_idx: np.ndarray, row_start: int = 0
+    ) -> np.ndarray:
         """Convert own-chromosome-excluded neighbour indexes to global ones.
 
         The reference searches neighbours in ``chr_data`` formed by
@@ -134,18 +136,24 @@ class MaskedLayout:
 
         Parameters
         ----------
-        neighbour_idx : int[n_masked, k]
-            Per-target-bin neighbour indexes in excluded space.
+        neighbour_idx : int[rows, k]
+            Per-target-bin neighbour indexes in excluded space.  ``rows``
+            is ``n_masked`` for a full table, or a tail slice starting at
+            masked row ``row_start`` (the gonosomal passes only translate
+            their chrX/chrY target rows).
 
         Returns
         -------
-        int32[n_masked, k] global masked indexes.
+        int32[rows, k] global masked indexes.
         """
         neighbour_idx = np.asarray(neighbour_idx)
-        starts = self.masked_chr_starts[self.chr_of_masked_bin]  # [n_masked]
-        sizes = self.masked_bins_per_chr[self.chr_of_masked_bin]
-        shift = (neighbour_idx >= starts[:, None]).astype(neighbour_idx.dtype)
-        return (neighbour_idx + shift * sizes[:, None]).astype(np.int32)
+        rows = slice(row_start, row_start + len(neighbour_idx))
+        starts = self.masked_chr_starts[self.chr_of_masked_bin[rows]]
+        sizes = self.masked_bins_per_chr[self.chr_of_masked_bin[rows]]
+        shift = (neighbour_idx >= starts[:, None]).astype(np.int8)
+        return (
+            neighbour_idx + shift * sizes[:, None]
+        ).astype(np.int32)
 
     def inflate(self, values: np.ndarray, fill=0) -> np.ndarray:
         """Scatter masked-space values back onto the full bin axis.

@@ -120,19 +120,16 @@ PASS_KEYS = (
 )
 
 
-def save_reference_npz(
-    path,
-    passes: dict,
-    *,
-    is_nipt: bool,
-    trained_cutoff: float,
-) -> None:
-    """Write the final merged reference npz.
+def flatten_reference(
+    passes: dict, *, is_nipt: bool, trained_cutoff: float
+) -> dict:
+    """Flatten per-pass arrays into the suffixed final-npz key layout.
 
-    ``passes`` maps gender pass id ("A", "F", "M") to a dict holding the
-    :data:`PASS_KEYS` arrays for that pass.  Key suffixing matches reference
-    newref_control.py:220-237: the "A" pass is stored unsuffixed, "F"/"M"
-    passes get ``.F`` / ``.M`` appended.
+    Key suffixing matches reference newref_control.py:220-237: the "A"
+    pass is stored unsuffixed, "F"/"M" passes get ``.F`` / ``.M``
+    appended.  The result is both what :func:`save_reference_npz` writes
+    and what :func:`wisecondorx_tpu.ref_qc.qc_reference_arrays` scores
+    without a disk round-trip.
     """
     final = {
         "has_female": "F" in passes,
@@ -146,6 +143,24 @@ def save_reference_npz(
             if key not in arrays:
                 raise KeyError(f"pass {gender!r} missing key {key!r}")
             final[f"{key}{suffix}"] = arrays[key]
+    return final
+
+
+def save_reference_npz(
+    path,
+    passes: dict,
+    *,
+    is_nipt: bool,
+    trained_cutoff: float,
+) -> None:
+    """Write the final merged reference npz.
+
+    ``passes`` maps gender pass id ("A", "F", "M") to a dict holding the
+    :data:`PASS_KEYS` arrays for that pass.
+    """
+    final = flatten_reference(
+        passes, is_nipt=is_nipt, trained_cutoff=trained_cutoff
+    )
     _savez_fast(path, final)
     logging.info("Reference written to %s", path)
 
@@ -287,6 +302,51 @@ def load_reference_npz(path):
     passes: dict = {}
     for (gender, key, _), arr in zip(wanted, arrays):
         passes.setdefault(gender, {})[key] = arr
+    return passes, meta
+
+
+#: Per-pass members small enough to load eagerly (everything except the
+#: hundreds-of-MB ``indexes`` / ``distances`` / ``null_ratios`` tables).
+SMALL_PASS_KEYS = (
+    "binsize",
+    "mask",
+    "bins_per_chr",
+    "masked_bins_per_chr",
+    "masked_bins_per_chr_cum",
+    "pca_components",
+    "pca_mean",
+)
+
+#: The bulk tables, loaded lazily/streamed by models.ref_loader.
+BIG_PASS_KEYS = ("indexes", "distances", "null_ratios")
+
+
+def load_reference_small(path):
+    """Load a reference npz's meta + per-pass small members only.
+
+    The predict path defers the bulk tables (indexes/distances/null
+    ratios — ~1 GB decompressed per pass at 15 kb) to background threads
+    that stream them straight toward the device
+    (:class:`wisecondorx_tpu.models.ref_loader.ReferenceLoader`); this
+    returns in milliseconds with everything stage control flow needs.
+
+    Returns (passes dict gender -> {small keys}, meta dict).
+    """
+    npz = np.load(path, encoding="latin1", allow_pickle=True)
+    meta = {
+        "is_nipt": bool(npz["is_nipt"]),
+        "trained_cutoff": float(npz["trained_cutoff"]),
+        "has_female": bool(npz["has_female"]),
+        "has_male": bool(npz["has_male"]),
+    }
+    passes: dict = {}
+    for gender in ("A", "F", "M"):
+        suffix = "" if gender == "A" else f".{gender}"
+        if f"bins_per_chr{suffix}" not in npz:
+            continue
+        passes[gender] = {
+            key: npz[f"{key}{suffix}"] for key in SMALL_PASS_KEYS
+        }
     return passes, meta
 
 

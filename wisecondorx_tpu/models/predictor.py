@@ -75,43 +75,22 @@ class BinResults:
     masked_layout: MaskedLayout
 
 
-def _pass_normalize(sample, ref_pass, cfg, ct, cutoff_distances):
-    """One normalization pass (reference predict_control.py:21-39)."""
-    bins_per_chr = np.asarray(ref_pass["bins_per_chr"])
-    mask = np.asarray(ref_pass["mask"], dtype=bool)
-    layout = GenomeLayout(bins_per_chr)
-    ml = MaskedLayout(layout, mask)
-
+def _pass_normalize(sample, ref_pass, cfg, tables):
+    """One normalization pass (reference predict_control.py:21-39) over
+    prebuilt :class:`~wisecondorx_tpu.models.ref_loader.PassTables`."""
     masked_sample = norm_ops.coverage_normalize_and_mask(
-        sample, bins_per_chr, mask
+        sample, np.asarray(ref_pass["bins_per_chr"]),
+        np.asarray(ref_pass["mask"], dtype=bool),
     )
-    projected = np.asarray(
-        pca_ops.project_sample(
-            masked_sample,
-            np.asarray(ref_pass["pca_components"]),
-            np.asarray(ref_pass["pca_mean"]),
-        )
+    projected = pca_ops.project_sample(
+        masked_sample,
+        np.asarray(ref_pass["pca_components"]),
+        np.asarray(ref_pass["pca_mean"]),
     )
-    weights = norm_ops.get_weights(np.asarray(ref_pass["distances"]))[ct:]
-    # Quirk preserved: the cutoff always derives from the *autosomal* pass
-    # distances, even for the gonosomal pass (predict_control.py:34 reads
-    # the unsuffixed "distances" key).
-    optimal_cutoff = norm_ops.get_optimal_cutoff(
-        cutoff_distances, cfg.maskrepeats
+    z, r, ref_sizes, m_lr, m_z = norm_ops.normalize_repeat_pre(
+        projected, tables.sentinel_idx, ct=tables.ct
     )
-
-    indexes = np.asarray(ref_pass["indexes"])
-    distances = np.asarray(ref_pass["distances"])
-    global_idx = ml.neighbour_to_global(indexes)
-
-    z, r, ref_sizes, m_lr, m_z = norm_ops.normalize_repeat(
-        projected,
-        global_idx[ct:],
-        distances[ct:],
-        optimal_cutoff,
-        ct=ct,
-    )
-    return z, r, weights, ref_sizes, m_lr, m_z, ml
+    return z, r, tables.weights, ref_sizes, m_lr, m_z, tables.ml
 
 
 def prepare_sample(sample, sample_binsize, ref_passes, ref_meta, cfg):
@@ -120,6 +99,15 @@ def prepare_sample(sample, sample_binsize, ref_passes, ref_meta, cfg):
 
     Returns (sample, gender, ref_gender, n_reads).
     """
+    missing = [str(c) for c in range(1, 25) if str(c) not in sample]
+    if missing:
+        # The reference KeyErrors deep inside normalization on such input
+        # (predict_tools.py:40); failing here keeps the error attributable
+        # and lets predict-batch skip the sample instead of the plate.
+        raise PredictError(
+            f"Sample is missing chromosome(s) {', '.join(missing)} — "
+            "not a convert-stage npz?"
+        )
     n_reads = int(np.sum([np.sum(v) for v in sample.values()]))
     ref_binsize = int(np.atleast_1d(ref_passes["A"]["binsize"])[0])
     sample = scale_sample(sample, sample_binsize, ref_binsize)
@@ -170,8 +158,16 @@ def predict_bins(
     ref_passes: dict,
     ref_meta: dict,
     cfg: PredictConfig = PredictConfig(),
+    loader=None,
 ) -> BinResults:
-    """Produce combined per-bin r/z/w/null-ratio results for a test sample."""
+    """Produce combined per-bin r/z/w/null-ratio results for a test sample.
+
+    ``loader`` (optional :class:`~wisecondorx_tpu.models.ref_loader.
+    ReferenceLoader`) streams the bulk reference tables to the device on
+    background threads; without it they are built synchronously from the
+    in-memory ``ref_passes`` arrays (numerically identical)."""
+    from wisecondorx_tpu.models.ref_loader import build_pass_tables
+
     cfg.validate()
     sample, gender, ref_gender, n_reads = prepare_sample(
         sample, sample_binsize, ref_passes, ref_meta, cfg
@@ -179,19 +175,39 @@ def predict_bins(
 
     a_pass = ref_passes["A"]
     g_pass = ref_passes[ref_gender]
-    cutoff_distances = np.asarray(a_pass["distances"])
+    if loader is not None:
+        loader.start(ref_gender, cfg.maskrepeats)
+        from wisecondorx_tpu.utils.warmup import set_predict_gender_hint
+
+        set_predict_gender_hint(ref_gender)
+        tables_a = loader.tables("A")
+        tables_g = loader.tables(ref_gender)
+    else:
+        # Quirk preserved: the cutoff always derives from the *autosomal*
+        # pass distances, even for the gonosomal pass (reference
+        # predict_control.py:34 reads the unsuffixed "distances" key).
+        cutoff = norm_ops.get_optimal_cutoff(
+            np.asarray(a_pass["distances"]), cfg.maskrepeats
+        )
+        tables_a = build_pass_tables(a_pass, "A", cutoff)
+        tables_g = build_pass_tables(g_pass, ref_gender, cutoff)
 
     with stage_timer("predict.normalize_autosomes"):
         z_a, r_a, w_a, sizes_a, m_lr, m_z, _ = _pass_normalize(
-            sample, a_pass, cfg, ct=0, cutoff_distances=cutoff_distances
+            sample, a_pass, cfg, tables_a
         )
 
     with stage_timer("predict.normalize_gonosomes"):
-        g_cum = np.asarray(g_pass["masked_bins_per_chr_cum"])
-        ct = int(g_cum[21])  # bins before chrX in the gonosomal pass
         z_g, r_g, w_g, sizes_g, _, _, g_ml = _pass_normalize(
-            sample, g_pass, cfg, ct=ct, cutoff_distances=cutoff_distances
+            sample, g_pass, cfg, tables_g
         )
+
+    if loader is not None:
+        null_aut = loader.null_ratios("A")
+        null_gon = loader.null_ratios(ref_gender)
+    else:
+        null_aut = a_pass["null_ratios"]
+        null_gon = g_pass["null_ratios"]
 
     return assemble_results(
         (z_a, r_a, w_a, sizes_a, m_lr, m_z),
@@ -203,6 +219,7 @@ def predict_bins(
         ref_gender=ref_gender,
         gender=gender,
         n_reads=n_reads,
+        null_tables=(null_aut, null_gon),
     )
 
 
@@ -217,11 +234,18 @@ def assemble_results(
     ref_gender,
     gender,
     n_reads,
+    null_tables=None,
 ) -> BinResults:
     """Combine pass outputs into per-chromosome BinResults
-    (reference main.py:216-275)."""
+    (reference main.py:216-275).
+
+    ``null_tables`` optionally supplies the (autosomal, gonosomal)
+    null-ratio arrays when the pass dicts hold only small members (the
+    streamed-loader path)."""
     z_a, r_a, w_a, sizes_a, m_lr, m_z = a_results
     z_g, r_g, w_g, sizes_g = g_results
+    if null_tables is None:
+        null_tables = (a_pass["null_ratios"], g_pass["null_ratios"])
     ref_binsize = int(np.atleast_1d(a_pass["binsize"])[0])
 
     # Combine (reference main.py:242-257).
@@ -239,8 +263,8 @@ def assemble_results(
         results_w = np.ones(len(results_w))
     ref_sizes = np.concatenate([sizes_a, sizes_g])
 
-    null_aut = np.asarray(a_pass["null_ratios"], dtype=np.float64)
-    null_gon = np.asarray(g_pass["null_ratios"], dtype=np.float64)[
+    null_aut = np.asarray(null_tables[0], dtype=np.float64)
+    null_gon = np.asarray(null_tables[1], dtype=np.float64)[
         len(null_aut):
     ]
 
@@ -358,6 +382,7 @@ def predict(
     ref_passes: dict,
     ref_meta: dict,
     cfg: PredictConfig = PredictConfig(),
+    loader=None,
 ):
     """Full prediction: per-bin results + segments.
 
@@ -374,7 +399,9 @@ def predict(
         int(np.max(a_pass["bins_per_chr"])),
         CBSConfig(alpha=cfg.alpha, seed=cfg.seed if cfg.seed is not None else 0),
     )
-    bins = predict_bins(sample, sample_binsize, ref_passes, ref_meta, cfg)
+    bins = predict_bins(
+        sample, sample_binsize, ref_passes, ref_meta, cfg, loader=loader
+    )
     segments = segment_bins(bins, cfg)
     return bins, segments
 
@@ -402,26 +429,43 @@ def _log_trans(per_chr_r, per_chr_z, per_chr_w, per_chr_nr, m_lr):
 
 def _apply_blacklist(results, blacklist_path, binsize):
     """Zero r/z/w over blacklisted regions (reference
-    predict_tools.py:202-233)."""
+    predict_tools.py:202-233).  Malformed rows raise
+    :class:`~wisecondorx_tpu.errors.BedParseError` (file:line in the
+    message) instead of a raw traceback."""
+    from wisecondorx_tpu.errors import BedParseError
+
     out_r, out_z, out_w, _ = results
-    for line in open(blacklist_path):
+    for lineno, line in enumerate(open(blacklist_path), 1):
         line = line.strip()
         if not line:
             continue
-        chr_name, s, e = line.split("\t")[:3]
+        fields = line.split("\t")
+        if len(fields) < 3:
+            raise BedParseError(
+                f"{blacklist_path}:{lineno}: blacklist rows need 3 "
+                f"tab-separated columns (chr, start, end); got {len(fields)}"
+            )
+        chr_name, s, e = fields[:3]
         if chr_name[:3].lower() == "chr":
             chr_name = chr_name[3:]
         if chr_name == "X":
             chr_name = "23"
         if chr_name == "Y":
             chr_name = "24"
-        chrom = int(chr_name) - 1
+        try:
+            chrom = int(chr_name) - 1
+            s, e = int(s), int(e)
+        except ValueError:
+            raise BedParseError(
+                f"{blacklist_path}:{lineno}: cannot parse blacklist row "
+                f"'{line}' (chr must be 1-22/X/Y, start/end integers)"
+            ) from None
         if len(out_r) < 24 and chrom == 23:
             continue
         if chrom >= len(out_r):
             continue
-        start = int(int(s) / binsize)
-        end = int(int(e) / binsize) + 1
+        start = int(s / binsize)
+        end = int(e / binsize) + 1
         for pos in range(start, end):
             if pos < 0 or pos >= len(out_r[chrom]):
                 continue

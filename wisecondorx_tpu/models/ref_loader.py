@@ -1,0 +1,188 @@
+"""Streaming reference-table loader for the predict stage.
+
+The reference tool mmap-loads its npz and touches tables lazily
+(reference predict_control.py:21-39 reads them via dict access); on the
+TPU the equivalent concern is the host->device link: at 15 kb bins one
+pass's ``indexes``/``distances`` tables are ~1 GB decompressed, and the
+tunneled link moves ~45 MB/s — so predict latency is set by *bytes
+scheduled*, not compute (round-3 profile: 46 s of a 50 s predict was
+reference-table handling).
+
+This loader overlaps, per pass:
+
+* npz member decompression (zlib releases the GIL -> real thread overlap);
+* the host float64 optimal-cutoff / per-bin-weight math
+  (ops/normalize.get_optimal_cutoff / get_weights);
+* index-space translation + cutoff folding
+  (MaskedLayout.neighbour_to_global -> sentinel_indexes); and
+* the single bulk device upload per pass: one int32 [target_rows, k]
+  sentinel index table.  The gonosomal pass only ships its chrX/chrY
+  target rows (~5% of the table).
+
+``null_ratios`` stay on host (segment z-scores are host math) and
+decompress in the background so they are ready by CBS time.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
+from wisecondorx_tpu.io.npz import load_reference_small
+from wisecondorx_tpu.ops import normalize as norm_ops
+
+
+class PassTables:
+    """Per-pass prediction tables, ready for the normalization kernel.
+
+    ``sentinel_idx`` is the device-resident int32 [target_rows, k]
+    neighbour table with the distance cutoff folded in as -1 sentinels;
+    ``weights`` are the host float64 per-target-bin weights; ``ml`` the
+    pass's masked layout; ``ct`` the first target row.
+    """
+
+    __slots__ = ("sentinel_idx", "weights", "ml", "ct")
+
+    def __init__(self, sentinel_idx, weights, ml, ct):
+        self.sentinel_idx = sentinel_idx
+        self.weights = weights
+        self.ml = ml
+        self.ct = ct
+
+
+def pass_ct(ref_pass_small: dict, gender: str) -> int:
+    """First target row of a pass: 0 for "A", the pre-chrX masked bin
+    count for gonosomal passes (reference predict_control.py:22-29)."""
+    if gender == "A":
+        return 0
+    return int(np.asarray(ref_pass_small["masked_bins_per_chr_cum"])[21])
+
+
+def build_pass_tables(
+    ref_pass: dict, gender: str, cutoff: float, upload: bool = True
+) -> PassTables:
+    """Synchronous PassTables construction from an in-memory pass dict
+    (the test / non-streamed path; numerically identical to the loader)."""
+    import jax
+
+    ct = pass_ct(ref_pass, gender)
+    ml = MaskedLayout(
+        GenomeLayout(np.asarray(ref_pass["bins_per_chr"])),
+        np.asarray(ref_pass["mask"], dtype=bool),
+    )
+    idx = np.asarray(ref_pass["indexes"])[ct:]
+    dist = np.asarray(ref_pass["distances"])[ct:]
+    weights = norm_ops.get_weights(dist)
+    gi = ml.neighbour_to_global(idx, row_start=ct)
+    sent = norm_ops.sentinel_indexes(gi, dist, cutoff)
+    if upload:
+        sent = jax.device_put(sent)
+    return PassTables(sent, weights, ml, ct)
+
+
+class ReferenceLoader:
+    """Background-threaded reference loading for one predict invocation.
+
+    Usage::
+
+        loader = ReferenceLoader(path)        # small members, fast
+        ...                                   # decide ref_gender
+        loader.start(ref_gender, maskrepeats) # spawn decompress/upload
+        tables = loader.tables("A")           # blocks until ready
+        nulls  = loader.null_ratios("A")
+    """
+
+    def __init__(self, path):
+        self.path = path
+        t0 = time.perf_counter()
+        self.passes, self.meta = load_reference_small(path)
+        logging.debug(
+            "reference small members in %.2fs", time.perf_counter() - t0
+        )
+        self._pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="wcx-ref-loader"
+        )
+        self._futs: dict = {}
+        self._started = False
+
+    # -- internals --------------------------------------------------------
+
+    def _member(self, gender: str, key: str):
+        """Decompress one big npz member (own NpzFile handle per thread).
+
+        The ``[timing]`` stages overlap each other (they run on the
+        loader's thread pool) — they attribute where the bytes went, not
+        additive wall-clock."""
+        from wisecondorx_tpu.utils.log import stage_timer
+
+        suffix = "" if gender == "A" else f".{gender}"
+        with stage_timer(f"predict.load.{key}{suffix}"):
+            return np.load(self.path, encoding="latin1", allow_pickle=True)[
+                f"{key}{suffix}"
+            ]
+
+    def _cutoff(self, maskrepeats: int) -> float:
+        # Quirk preserved: the cutoff always derives from the *autosomal*
+        # pass distances, even for the gonosomal pass (reference
+        # predict_control.py:34 reads the unsuffixed "distances" key).
+        dist_a = self._futs[("dist", "A")].result()
+        return norm_ops.get_optimal_cutoff(dist_a, maskrepeats)
+
+    def _tables(self, gender: str) -> PassTables:
+        import jax
+
+        small = self.passes[gender]
+        ct = pass_ct(small, gender)
+        ml = MaskedLayout(
+            GenomeLayout(np.asarray(small["bins_per_chr"])),
+            np.asarray(small["mask"], dtype=bool),
+        )
+        idx = self._futs[("idx", gender)].result()
+        dist = self._futs[("dist", gender)].result()
+        idx_t = np.asarray(idx)[ct:]
+        dist_t = np.asarray(dist)[ct:]
+        weights = norm_ops.get_weights(dist_t)
+        gi = ml.neighbour_to_global(idx_t, row_start=ct)
+        cutoff = self._futs["cutoff"].result()
+        sent = norm_ops.sentinel_indexes(gi, dist_t, cutoff)
+        from wisecondorx_tpu.utils.log import stage_timer
+
+        with stage_timer(f"predict.load.upload_{gender}"):
+            sent_dev = jax.device_put(sent)
+            sent_dev.block_until_ready()
+        logging.info(
+            "streamed %s sentinel indexes (%.0f MB) to device", gender,
+            sent.nbytes / 2**20,
+        )
+        return PassTables(sent_dev, weights, ml, ct)
+
+    # -- public API -------------------------------------------------------
+
+    def start(self, ref_gender: str, maskrepeats: int) -> None:
+        """Kick off decompression + host math + uploads for the "A" pass
+        and the resolved gonosomal pass."""
+        if self._started:
+            return
+        self._started = True
+        genders = ["A"] + ([ref_gender] if ref_gender != "A" else [])
+        sub = self._pool.submit
+        for g in genders:
+            self._futs[("idx", g)] = sub(self._member, g, "indexes")
+            self._futs[("dist", g)] = sub(self._member, g, "distances")
+        self._futs["cutoff"] = sub(self._cutoff, maskrepeats)
+        for g in genders:
+            self._futs[("tables", g)] = sub(self._tables, g)
+            self._futs[("null", g)] = sub(self._member, g, "null_ratios")
+
+    def cutoff(self) -> float:
+        return self._futs["cutoff"].result()
+
+    def tables(self, gender: str) -> PassTables:
+        return self._futs[("tables", gender)].result()
+
+    def null_ratios(self, gender: str) -> np.ndarray:
+        return self._futs[("null", gender)].result()

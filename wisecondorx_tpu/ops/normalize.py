@@ -15,6 +15,16 @@ reference's own-chromosome-excluded index space
 (:meth:`wisecondorx_tpu.genome.MaskedLayout.neighbour_to_global`), removing
 the per-chromosome array concatenation of predict_tools.py:125-130 from the
 hot path entirely.
+
+Transfer-economy design (round 4): the tunneled TPU link runs ~45 MB/s
+each way, so the predict wall is set by bytes moved, not FLOPs.  The
+optimal-cutoff and weight computations run on HOST numpy in float64 —
+bit-identical to the reference's math (predict_tools.py:74-82, 152-155)
+and free of a 229 MB f32 distance upload each — and the cutoff decision
+``distance < cutoff`` is folded into the neighbour-index upload itself:
+excluded neighbours become ``-1`` sentinels in the int32 index table, so
+ONE [rows, k] int32 array per pass is the only bulk transfer the predict
+path makes.
 """
 
 from __future__ import annotations
@@ -50,33 +60,37 @@ def coverage_normalize_and_mask(
     return all_data[np.asarray(mask, dtype=bool)]
 
 
-@functools.partial(jax.jit, static_argnames=("repeats",))
-def _optimal_cutoff_kernel(distances, repeats: int):
-    cutoff = jnp.inf
-    flat = distances.ravel()
-    for _ in range(repeats):
-        valid = flat < cutoff
-        avg = masked_mean(flat, valid, axis=0)
-        std = masked_std(flat, valid, axis=0)
-        cutoff = avg + 3 * std
-    return cutoff
-
-
 def get_optimal_cutoff(distances: np.ndarray, repeats: int) -> float:
-    """Iterative mean+3*std over reference distances
-    (reference predict_tools.py:74-82)."""
-    return float(_optimal_cutoff_kernel(jnp.asarray(distances), repeats))
-
-
-@jax.jit
-def _weights_kernel(distances):
-    return 1.0 / jnp.mean(jnp.sqrt(distances), axis=1)
+    """Iterative mean+3*std over reference distances (reference
+    predict_tools.py:74-82) — host numpy in float64: exact reference
+    parity, and it spares the device a full distance-table upload."""
+    distances = np.asarray(distances, dtype=np.float64)
+    cutoff = np.inf
+    for _ in range(repeats):
+        sel = distances[distances < cutoff]
+        cutoff = float(np.mean(sel) + 3 * np.std(sel))
+    return cutoff
 
 
 def get_weights(distances: np.ndarray) -> np.ndarray:
     """weight_i = 1 / mean(sqrt(distances_i)) (reference
-    predict_tools.py:152-155)."""
-    return np.asarray(_weights_kernel(jnp.asarray(distances)))
+    predict_tools.py:152-155); host float64 — see :func:`get_optimal_cutoff`.
+
+    Row-independent, so calling it on a row slice equals slicing the
+    full-table result."""
+    distances = np.asarray(distances, dtype=np.float64)
+    return 1.0 / np.mean(np.sqrt(distances), axis=1)
+
+
+def sentinel_indexes(
+    global_idx: np.ndarray, distances: np.ndarray, optimal_cutoff: float
+) -> np.ndarray:
+    """Fold the ``distance < cutoff`` neighbour filter into the index
+    table: excluded neighbours become ``-1``.  The result is the ONLY
+    bulk array the normalization kernel needs on device."""
+    return np.where(
+        np.asarray(distances) < optimal_cutoff, global_idx, -1
+    ).astype(np.int32)
 
 
 #: Target rows processed per gather block — bounds peak memory of the
@@ -89,19 +103,20 @@ NORMALIZE_BLOCK = 16384
 @functools.partial(jax.jit, static_argnames=("rounds", "ct"))
 def _normalize_repeat_kernel(
     test_data,  # [n] masked pass-space sample values
-    global_idx,  # int32[n - ct, k] neighbour indexes into [n]
-    dist_ok,  # bool[n - ct, k] distance < optimal cutoff
+    global_idx,  # int32[n - ct, k] neighbour indexes into [n]; -1 excluded
     ct: int,
     rounds: int = 3,
 ):
     """The reference's three-round z-masked normalization
     (predict_tools.py:94-142), fully vectorized over target bins.
 
-    ``test_copy`` starts as the sample and accumulates -1 sentinels at bins
-    whose |z| crossed the threshold in any earlier round, so that they stop
-    serving as references; statistics always use the *original* values
-    (``test_data``) for the targets themselves.  The neighbour gather +
-    masked statistics run as a sequential map over fixed-size row blocks.
+    ``global_idx`` carries the distance-cutoff filter as ``-1`` sentinels
+    (:func:`sentinel_indexes`).  ``test_copy`` starts as the sample and
+    accumulates -1 sentinels at bins whose |z| crossed the threshold in
+    any earlier round, so that they stop serving as references;
+    statistics always use the *original* values (``test_data``) for the
+    targets themselves.  The neighbour gather + masked statistics run as
+    a sequential map over fixed-size row blocks.
     """
     targets = test_data[ct:]
     m, k = global_idx.shape
@@ -109,13 +124,11 @@ def _normalize_repeat_kernel(
     n_blocks = -(-m // block)
     pad = n_blocks * block - m
     gi = jnp.pad(global_idx, ((0, pad), (0, 0))).reshape(n_blocks, block, k)
-    ok = jnp.pad(dist_ok, ((0, pad), (0, 0))).reshape(n_blocks, block, k)
 
     def one_round(test_copy):
-        def per_block(args):
-            gi_b, ok_b = args
-            neigh = test_copy[gi_b]  # [block, k]
-            valid = ok_b & (neigh >= 0)
+        def per_block(gi_b):
+            neigh = test_copy[jnp.maximum(gi_b, 0)]  # [block, k]
+            valid = (gi_b >= 0) & (neigh >= 0)
             return (
                 masked_mean(neigh, valid),
                 masked_std(neigh, valid),
@@ -123,7 +136,7 @@ def _normalize_repeat_kernel(
                 jnp.sum(valid, axis=1),
             )
 
-        mean, std, med, sizes = jax.lax.map(per_block, (gi, ok))
+        mean, std, med, sizes = jax.lax.map(per_block, gi)
         mean = mean.reshape(-1)[:m]
         std = std.reshape(-1)[:m]
         med = med.reshape(-1)[:m]
@@ -147,6 +160,29 @@ def _normalize_repeat_kernel(
     return z, r, ref_sizes, m_lr, m_z
 
 
+def normalize_repeat_pre(test_data, sentinel_idx, ct: int = 0, rounds: int = 3):
+    """Run the within-sample normalization from a prebuilt (possibly
+    already device-resident) sentinel index table.
+
+    Returns host (z, r, ref_sizes, m_lr, m_z) over the target rows.
+    """
+    z, r, ref_sizes, m_lr, m_z = _normalize_repeat_kernel(
+        jnp.asarray(test_data),
+        sentinel_idx
+        if isinstance(sentinel_idx, jax.Array)
+        else jnp.asarray(sentinel_idx, dtype=jnp.int32),
+        ct=int(ct),
+        rounds=rounds,
+    )
+    return (
+        np.asarray(z),
+        np.asarray(r),
+        np.asarray(ref_sizes, dtype=np.float64),
+        float(m_lr),
+        float(m_z),
+    )
+
+
 def normalize_repeat(
     test_data: np.ndarray,
     global_idx: np.ndarray,
@@ -168,18 +204,9 @@ def normalize_repeat(
 
     Returns (z, r, ref_sizes, m_lr, m_z) over the target rows.
     """
-    dist_ok = np.asarray(distances) < optimal_cutoff
-    z, r, ref_sizes, m_lr, m_z = _normalize_repeat_kernel(
-        jnp.asarray(test_data),
-        jnp.asarray(global_idx, dtype=jnp.int32),
-        jnp.asarray(dist_ok),
-        ct=int(ct),
+    return normalize_repeat_pre(
+        test_data,
+        sentinel_indexes(global_idx, distances, optimal_cutoff),
+        ct=ct,
         rounds=rounds,
-    )
-    return (
-        np.asarray(z),
-        np.asarray(r),
-        np.asarray(ref_sizes, dtype=np.float64),
-        float(m_lr),
-        float(m_z),
     )

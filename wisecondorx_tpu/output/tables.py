@@ -166,33 +166,45 @@ def _generate_regions_bed(outid, bins, regions_path):
     unconditionally overwrites it with ``int(re.sub("chr", "", name)) - 1``
     which raises ValueError on X/Y rows (predict_output.py:98-102); here
     X/Y map to their real indexes 22/23."""
+    from wisecondorx_tpu.errors import BedParseError
+
     with open(f"{outid}_regions.bed", "w") as out:
         out.write("chr\tstart\tend\tname\tratio\tzscore\n")
         regions = [
-            line.strip().split("\t")
-            for line in open(regions_path)
+            (lineno, line.strip().split("\t"))
+            for lineno, line in enumerate(open(regions_path), 1)
             if line.strip() != ""
         ]
-        for region in regions:
-            assert len(region) >= 4, (
-                "Regions file must have at least 4 columns: "
-                "chr, start, end, name"
-            )
+        for lineno, region in regions:
+            if len(region) < 4:
+                raise BedParseError(
+                    f"{regions_path}:{lineno}: regions rows need at least "
+                    "4 tab-separated columns (chr, start, end, name); got "
+                    f"{len(region)}"
+                )
             chr_name, start, end, name = region[:4]
             stripped = chr_name.removeprefix("chr")
-            if stripped == "X":
-                chrom = 22
-            elif stripped == "Y":
-                chrom = 23
-            else:
-                chrom = int(stripped) - 1
+            try:
+                if stripped == "X":
+                    chrom = 22
+                elif stripped == "Y":
+                    chrom = 23
+                else:
+                    chrom = int(stripped) - 1
+                start_i, end_i = int(start), int(end)
+            except ValueError:
+                raise BedParseError(
+                    f"{regions_path}:{lineno}: cannot parse region "
+                    f"'{chr_name}\\t{start}\\t{end}' (chr must be 1-22/X/Y, "
+                    "start/end integers)"
+                ) from None
             if chrom >= len(bins.results_r):
                 out.write(
                     "Skipping invalid region: " + "\t".join(region) + "\n"
                 )
                 continue
-            start_bin = int(start) // bins.binsize
-            end_bin = int(end) // bins.binsize
+            start_bin = start_i // bins.binsize
+            end_bin = end_i // bins.binsize
             n_bins_chr = len(bins.results_r[chrom])
             if end_bin >= n_bins_chr:
                 end_bin = n_bins_chr - 1

@@ -30,27 +30,36 @@ from wisecondorx_tpu.ops import pca as pca_ops
 
 @functools.partial(jax.jit, static_argnames=("ct", "rounds"))
 def _batched_kernel(
-    test_mat, components, mean, global_idx, dist_ok, ct: int, rounds: int = 3
+    test_mat, components, mean, global_idx, ct: int, rounds: int = 3
 ):
     def one(tv):
         projected = pca_ops.project_sample(tv, components, mean)
         return norm_ops._normalize_repeat_kernel(
-            projected, global_idx, dist_ok, ct=ct, rounds=rounds
+            projected, global_idx, ct=ct, rounds=rounds
         )
 
     return jax.vmap(one)(test_mat)
 
 
 def _run_pass_batched(
-    samples, ref_pass, ct, optimal_cutoff, mesh=None, chunk=8
+    samples, ref_pass, gender, optimal_cutoff, mesh=None, chunk=8,
+    tables=None,
 ):
     """Run one normalization pass for a batch of prepared samples.
 
     Returns per-sample tuples (z, r, weights, ref_sizes, m_lr, m_z).
     """
+    from wisecondorx_tpu.models.ref_loader import build_pass_tables
+
     bins_per_chr = np.asarray(ref_pass["bins_per_chr"])
     mask = np.asarray(ref_pass["mask"], dtype=bool)
-    ml = MaskedLayout(GenomeLayout(bins_per_chr), mask)
+    if tables is None:
+        tables = build_pass_tables(
+            ref_pass, gender, optimal_cutoff, upload=(mesh is None)
+        )
+    ml = tables.ml
+    ct = tables.ct
+    weights = tables.weights
 
     test_mat = np.stack(
         [
@@ -60,19 +69,14 @@ def _run_pass_batched(
     )
     components = jnp.asarray(ref_pass["pca_components"])
     mean = jnp.asarray(ref_pass["pca_mean"])
-    distances = np.asarray(ref_pass["distances"])
-    weights = norm_ops.get_weights(distances)[ct:]
-    global_idx = ml.neighbour_to_global(np.asarray(ref_pass["indexes"]))[ct:]
-    dist_ok = distances[ct:] < optimal_cutoff
-
-    gi = jnp.asarray(global_idx, dtype=jnp.int32)
-    ok = jnp.asarray(dist_ok)
+    gi = tables.sentinel_idx
+    if not isinstance(gi, jax.Array):
+        gi = jnp.asarray(gi, dtype=jnp.int32)
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         components = jax.device_put(components, repl)
         mean = jax.device_put(mean, repl)
         gi = jax.device_put(gi, repl)
-        ok = jax.device_put(ok, repl)
 
     n_dev = mesh.devices.size if mesh is not None else 1
     chunk = max(chunk, n_dev)
@@ -87,7 +91,7 @@ def _run_pass_batched(
         if mesh is not None:
             tm = jax.device_put(tm, NamedSharding(mesh, P("samples")))
         z, r, sizes, m_lr, m_z = _batched_kernel(
-            tm, components, mean, gi, ok, ct=int(ct)
+            tm, components, mean, gi, ct=int(ct)
         )
         n_real = len(test_mat[s0 : s0 + chunk])
         for i in range(n_real):
@@ -111,17 +115,34 @@ def predict_batch(
     cfg: PredictConfig = PredictConfig(),
     mesh=None,
     chunk: int = 8,
+    skip_errors: bool = False,
 ) -> list[BinResults]:
     """Predict a batch of samples data-parallel.
 
     Per-sample results are identical to :func:`predict_bins` (verified by
     the batch-equivalence tests).
+
+    ``skip_errors``: a production plate should not lose 95 good samples
+    to one corrupt npz (the reference scores one sample per process, so
+    the failure domain question never arose there).  When set, samples
+    that fail preparation are logged and returned as ``None`` entries
+    (order preserved) instead of aborting the plate.
     """
+    import logging
+
     cfg.validate()
-    prepped = [
-        prepare_sample(s, bs, ref_passes, ref_meta, cfg)
-        for s, bs in samples_with_binsize
-    ]
+    prepped = []
+    ok_idx = []
+    for i, (s, bs) in enumerate(samples_with_binsize):
+        try:
+            prepped.append(prepare_sample(s, bs, ref_passes, ref_meta, cfg))
+            ok_idx.append(i)
+        except Exception as e:
+            if not skip_errors:
+                raise
+            logging.error("Skipping sample %d of the plate: %s", i + 1, e)
+    if not prepped:
+        return [None] * len(samples_with_binsize)
 
     a_pass = ref_passes["A"]
     cutoff = norm_ops.get_optimal_cutoff(
@@ -129,23 +150,22 @@ def predict_batch(
     )
 
     a_out, _ = _run_pass_batched(
-        [p[0] for p in prepped], a_pass, 0, cutoff, mesh, chunk
+        [p[0] for p in prepped], a_pass, "A", cutoff, mesh, chunk
     )
 
-    results: list = [None] * len(prepped)
+    results: list = [None] * len(samples_with_binsize)
     for gender in ("F", "M"):
         idxs = [i for i, p in enumerate(prepped) if p[2] == gender]
         if not idxs:
             continue
         g_pass = ref_passes[gender]
-        g_cum = np.asarray(g_pass["masked_bins_per_chr_cum"])
-        ct = int(g_cum[21])
         g_out, g_ml = _run_pass_batched(
-            [prepped[i][0] for i in idxs], g_pass, ct, cutoff, mesh, chunk
+            [prepped[i][0] for i in idxs], g_pass, gender, cutoff, mesh,
+            chunk,
         )
         for j, i in enumerate(idxs):
             z_g, r_g, w_g, sizes_g, _, _ = g_out[j]
-            results[i] = assemble_results(
+            results[ok_idx[i]] = assemble_results(
                 a_out[i],
                 (z_g, r_g, w_g, sizes_g),
                 g_ml,

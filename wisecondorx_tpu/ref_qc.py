@@ -180,7 +180,7 @@ def _describe(st: PassStats) -> str:
 
 
 def qc_reference(npz_path) -> int:
-    """Score a reference npz; returns the worst severity: 0/1/2.
+    """Score a reference npz file; returns the worst severity: 0/1/2.
 
     Logs one metrics line per pass (plus a chrY detail line for the M
     pass) and an overall verdict.
@@ -191,52 +191,60 @@ def qc_reference(npz_path) -> int:
         return FAIL
 
     with np.load(path, encoding="latin1", allow_pickle=True) as ref:
-        passes = _passes_in(ref)
-        if not passes:
-            logging.error(
-                "Reference QC: %s has no bins_per_chr key in any pass — "
-                "not a reference npz?",
-                path,
-            )
-            return FAIL
+        return qc_reference_arrays(ref, label=str(path))
 
-        try:
-            binsize = int(np.atleast_1d(ref["binsize"])[0])
-        except (KeyError, TypeError, ValueError):
-            binsize = None
-        logging.info(
-            "Reference QC on %s (binsize %s)",
-            path,
-            f"{binsize} bp" if binsize else "unknown",
+
+def qc_reference_arrays(ref, label="in-memory reference") -> int:
+    """Score a reference from its flat suffixed-key mapping — either an
+    opened npz or the in-memory dict from
+    :func:`wisecondorx_tpu.io.npz.flatten_reference` (the ``newref`` CLI
+    path, which skips re-decompressing the file it just wrote)."""
+    passes = _passes_in(ref)
+    if not passes:
+        logging.error(
+            "Reference QC: %s has no bins_per_chr key in any pass — "
+            "not a reference npz?",
+            label,
         )
+        return FAIL
 
-        worst = PASS
-        for suffix in passes:
-            label = {"": "A", ".F": "F", ".M": "M"}[suffix]
-            stats = _pass_stats(ref, suffix)
-            if stats is None:
-                logging.warning(
-                    "[%s] pass has no indexes/distances keys — skipped",
-                    label,
-                )
-                continue
+    try:
+        binsize = int(np.atleast_1d(ref["binsize"])[0])
+    except (KeyError, TypeError, ValueError):
+        binsize = None
+    logging.info(
+        "Reference QC on %s (binsize %s)",
+        label,
+        f"{binsize} bp" if binsize else "unknown",
+    )
 
-            rules = _RULES_MALE if label == "M" else _RULES_AUTOSOMAL
-            severity, reason = _judge(stats, rules)
-            worst = max(worst, severity)
-            emit = _SEVERITY_LOG[severity]
-            if stats.usable:
-                emit("[%s] %s", label, _describe(stats))
-                if stats.chr_y is not None and stats.chr_y.usable:
-                    emit("[%s]   chrY: %s", label, _describe(stats.chr_y))
-            else:
-                emit("[%s] bins=%d, none usable", label, stats.n_bins)
-            emit(
-                "[%s] verdict: %s%s",
-                label,
-                _SEVERITY_NAME[severity],
-                f" — {reason}" if reason else "",
+    worst = PASS
+    for suffix in passes:
+        label_g = {"": "A", ".F": "F", ".M": "M"}[suffix]
+        stats = _pass_stats(ref, suffix)
+        if stats is None:
+            logging.warning(
+                "[%s] pass has no indexes/distances keys — skipped",
+                label_g,
             )
+            continue
+
+        rules = _RULES_MALE if label_g == "M" else _RULES_AUTOSOMAL
+        severity, reason = _judge(stats, rules)
+        worst = max(worst, severity)
+        emit = _SEVERITY_LOG[severity]
+        if stats.usable:
+            emit("[%s] %s", label_g, _describe(stats))
+            if stats.chr_y is not None and stats.chr_y.usable:
+                emit("[%s]   chrY: %s", label_g, _describe(stats.chr_y))
+        else:
+            emit("[%s] bins=%d, none usable", label_g, stats.n_bins)
+        emit(
+            "[%s] verdict: %s%s",
+            label_g,
+            _SEVERITY_NAME[severity],
+            f" — {reason}" if reason else "",
+        )
 
     if worst == PASS:
         logging.info("Reference QC verdict: PASS")

@@ -117,19 +117,36 @@ def warm_newref_pass(
         )
 
 
+#: Resolved gonosomal pass for the current predict, set by the predictor
+#: the moment prepare_sample decides it — lets the warm-up thread skip
+#: compiling the pass that will not run (a third of the normalize warm).
+_gender_hint: dict = {"event": threading.Event(), "gender": None}
+
+
+def set_predict_gender_hint(gender: str) -> None:
+    _gender_hint["gender"] = gender
+    _gender_hint["event"].set()
+
+
 def start_predict_warmup(ref_path, cfg=None):
     """Compile the predict hot-path programs while the reference npz's
-    big tables (hundreds of MB of indexes/distances) decompress.
+    big tables (hundreds of MB of indexes/distances) decompress/upload.
 
     Only the npz's small members and the big members' HEADERS are read
-    (io/npz.reference_npz_headers) — enough to pin every program shape:
-    the single-sample three-round normalization kernel for the autosomal
-    and each gonosomal pass, the PCA projection, and (chained behind, via
-    ``after``-style sequencing inside the thread) the CBS buckets for the
-    largest chromosome.  Measured cold predict spends ~40-60 s compiling
-    exactly these after the tables are already in memory otherwise.
+    (io/npz.reference_npz_headers) — enough to pin every program shape.
+    Two warm tracks run concurrently from t=0 (the axon compile service
+    accepts parallel requests):
 
-    Returns an Event set when all warms finish.  No-op off-TPU.
+    * normalize track: the autosomal three-round normalization kernel +
+      PCA projection first (needed first), then the gonosomal pass —
+      narrowed to the gender the predictor resolves via
+      :func:`set_predict_gender_hint` (waits briefly for the hint);
+    * CBS track: every segment-size bucket for the largest chromosome,
+      largest-first (:func:`start_cbs_warmup`) — the long pole once the
+      table transfers stopped dominating, so it no longer chains behind
+      the normalize warms.
+
+    Returns an Event set when the normalize track finishes.  No-op off-TPU.
     """
     import jax
 
@@ -138,45 +155,51 @@ def start_predict_warmup(ref_path, cfg=None):
         done.set()
         return done
 
+    def warm_normalize_pass(h, gender):
+        import jax.numpy as jnp
+
+        from wisecondorx_tpu.ops.normalize import _normalize_repeat_kernel
+        from wisecondorx_tpu.ops.pca import project_sample
+
+        n = int(h["mask"].sum())
+        k = int(h["indexes_shape"][1])
+        ct = (
+            0 if gender == "A"
+            else int(h["masked_bins_per_chr_cum"][21])
+        )
+        # Mirror production dtypes exactly: f64 host arrays downcast on
+        # transfer under the default x64-off setting.
+        test = jnp.asarray(np.zeros(n))
+        gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
+        _normalize_repeat_kernel(test, gi, ct=ct)
+        comps = jnp.asarray(np.zeros((5, n)))
+        project_sample(test, comps, jnp.asarray(np.zeros(n)))
+
     def run():
         t0 = time.perf_counter()
         try:
-            import jax.numpy as jnp
-
             from wisecondorx_tpu.io.npz import reference_npz_headers
-            from wisecondorx_tpu.ops.normalize import (
-                _normalize_repeat_kernel,
-            )
-            from wisecondorx_tpu.ops.pca import project_sample
 
             headers = reference_npz_headers(ref_path)
-            max_chr_bins = 0
-            for gender, h in headers.items():
-                n = int(h["mask"].sum())
-                k = int(h["indexes_shape"][1])
-                max_chr_bins = max(
-                    max_chr_bins, int(np.max(h["bins_per_chr"]))
-                )
-                ct = (
-                    0 if gender == "A"
-                    else int(h["masked_bins_per_chr_cum"][21])
-                )
-                # Mirror production dtypes exactly: f64 host arrays
-                # downcast on transfer under the default x64-off setting.
-                test = jnp.asarray(np.zeros(n))
-                gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
-                ok = jnp.asarray(np.zeros((n - ct, k), bool))
-                _normalize_repeat_kernel(test, gi, ok, ct=ct)
-                comps = jnp.asarray(np.zeros((5, n)))
-                project_sample(test, comps, jnp.asarray(np.zeros(n)))
+            max_chr_bins = max(
+                int(np.max(h["bins_per_chr"])) for h in headers.values()
+            )
+            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
+            warm_normalize_pass(headers["A"], "A")
             logging.info(
-                "predict normalize warm-up done in %.1fs",
+                "predict normalize warm-up (A) done in %.1fs",
                 time.perf_counter() - t0,
             )
-            for b in _cbs_bucket_list_cached(max_chr_bins):
-                _try(warm_cbs_bucket, b, cfg)
+            _gender_hint["event"].wait(timeout=60)
+            hint = _gender_hint["gender"]
+            genders = (
+                [hint] if hint in headers
+                else [g for g in headers if g != "A"]
+            )
+            for gender in genders:
+                warm_normalize_pass(headers[gender], gender)
             logging.info(
-                "predict warm-up done in %.1fs",
+                "predict normalize warm-up done in %.1fs",
                 time.perf_counter() - t0,
             )
         except Exception as e:  # best-effort
@@ -188,6 +211,19 @@ def start_predict_warmup(ref_path, cfg=None):
         target=run, name="wcx-predict-warmup", daemon=True
     ).start()
     return done
+
+
+def _to_cbs_cfg(cfg):
+    """Accept either a CBSConfig or a PredictConfig-ish object."""
+    from wisecondorx_tpu.ops.cbs import CBSConfig
+
+    if cfg is None or isinstance(cfg, CBSConfig):
+        return cfg
+    seed = getattr(cfg, "seed", None)
+    return CBSConfig(
+        alpha=getattr(cfg, "alpha", 1e-4),
+        seed=seed if seed is not None else 0,
+    )
 
 
 def _cbs_bucket_list_cached(n_max: int) -> list[int]:
