@@ -114,3 +114,110 @@ def test_threshold_mode_is_deterministic():
     a = _production_rows(r, w, "F", 100_000, 4.0)
     b = _production_rows(r, w, "F", 100_000, 4.0)
     assert a == b and len(a) >= 3
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_extreme_weight_skews_differential(seed):
+    """Weighted path under weight skews spanning six decades, including
+    near-zero weights at segment boundaries and heavy weights inside NA
+    runs — segment-for-segment equality vs the oracle (VERDICT r3
+    next-step #5)."""
+    rng = np.random.default_rng(seed)
+    n = 140
+    y = rng.normal(0, 1, n)
+    y[30:70] += 1.8
+    w = 10.0 ** rng.uniform(-3, 3, n)  # 1e-3 .. 1e3
+    w[29:31] = 1e-3  # vanishing weight at the breakpoint
+    w[69:71] = 1e3   # huge weight at the other breakpoint
+    threshold = 4.0
+    cfg = CBSConfig(t_threshold=threshold, exact_max=1 << 14)
+    prod = _segment_values(y, w, cfg)
+    oracle = __import__("cbs_oracle").segment_values(y, w, threshold)
+    assert prod == oracle
+
+
+def test_na_run_weight_interaction_differential():
+    """Zero-ratio (NA) runs longer than the split threshold interacting
+    with zero weights (the 1^-99==1.0 quirk) and skewed weights around
+    run edges: full-pipeline equality vs the oracle."""
+    rng = np.random.default_rng(55)
+    binsize = 100_000  # na_run threshold = 20 bins
+    n = 160
+    results_r = []
+    results_w = []
+    for c in range(23):
+        r = np.exp(rng.normal(0, 0.1, n))
+        w = 10.0 ** rng.uniform(-2, 2, n)
+        if c == 2:
+            r[40:70] = 0.0   # 30-bin NA run -> must split
+            w[40:70] = 0.0   # zero weights -> 1.0 via the R typo quirk
+            w[39] = 1e2
+            w[70] = 1e-2
+        if c == 5:
+            r[10:25] = 0.0   # 15-bin run -> must NOT split
+        results_r.append(r)
+        results_w.append(w)
+    threshold = 5.0
+    prod = _production_rows(results_r, results_w, "F", binsize, threshold)
+    oracle = exec_cbs_oracle(results_r, results_w, "F", binsize, threshold)
+    assert prod == oracle
+
+
+def _oracle_perm_p(y, w, n_perms, seed, min_width=2):
+    """Independent Monte-Carlo p-value of the weighted max-arc statistic:
+    plain numpy permutations of the (y, w) PAIRS scored with the
+    exhaustive double-loop statistic — no shared machinery with the
+    engine's fused device rounds."""
+    obs, _, _ = max_arc_t(y, w, min_width)
+    rng = np.random.default_rng(seed)
+    hits = 0
+    for _ in range(n_perms):
+        order = rng.permutation(len(y))
+        t, _, _ = max_arc_t(y[order], w[order], min_width)
+        if t >= obs:
+            hits += 1
+    return (hits + 1) / (n_perms + 1)
+
+
+@pytest.mark.parametrize("delta,expect_split", [(4.0, True), (0.0, False)])
+def test_weighted_permutation_decision_matches_oracle(delta, expect_split):
+    """The engine's weighted Monte-Carlo split decision agrees with an
+    independent numpy permutation oracle when the oracle's p sits far
+    from alpha (near-boundary decisions are genuinely random for any
+    Monte-Carlo test and are excluded by construction)."""
+    rng = np.random.default_rng(31)
+    n = 44
+    y = rng.normal(0, 1, n)
+    y[12:26] += delta
+    w = 10.0 ** rng.uniform(-1.5, 1.5, n)
+    alpha = 0.01
+    p = _oracle_perm_p(y, w, 1500, seed=9)
+    if expect_split:
+        assert p < alpha / 3, f"fixture not clearly significant (p={p})"
+    else:
+        assert p > alpha * 3, f"fixture unexpectedly significant (p={p})"
+
+    cfg = CBSConfig(alpha=alpha, nperm=2000, seed=5, exact_max=1 << 14)
+    segments = _segment_values(y, w, cfg)
+    split = len(segments) > 1
+    assert split == expect_split
+
+
+def test_weighted_null_alpha_calibration():
+    """False-positive rate of the engine's weighted permutation test on
+    null data stays near alpha: split fraction over many weighted-null
+    trials must be within Monte-Carlo noise of alpha=0.05 (one-sided
+    binomial 99.9% bounds for 120 trials: [0.004, 0.13])."""
+    from wisecondorx_tpu.ops.cbs import _segment_jobs
+
+    rng = np.random.default_rng(77)
+    trials = 120
+    jobs = []
+    for _ in range(trials):
+        y = rng.normal(0, 1, 60)
+        w = 10.0 ** rng.uniform(-1, 1, 60)
+        jobs.append((y, w))
+    cfg = CBSConfig(alpha=0.05, nperm=400, seed=3, exact_max=1 << 14)
+    results = _segment_jobs(jobs, cfg)
+    frac = np.mean([len(r) > 1 for r in results])
+    assert 0.004 <= frac <= 0.13, f"split fraction {frac} far from alpha"

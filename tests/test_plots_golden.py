@@ -176,3 +176,103 @@ def test_golden_with_regions_and_title(golden, captured_figs, tmp_path):
     ax = fig.axes[0]
     labels = [t.get_text() for t in ax.texts]
     assert "DSCR" in labels
+
+
+def test_golden_dot_classification_exact(golden, captured_figs, tmp_path):
+    """Pixel-grounded check (VERDICT r3 next-step #8): per-dot color
+    classes and positions on the genome-wide figure are derived
+    independently from the golden BEDs (segment z vs the +-5 cutoff,
+    reference plotter.R:155-182) and asserted against the rendered
+    artists — exact gain/loss/neutral COUNTS and the exact x-positions
+    of every gain dot."""
+    bins, segments = golden
+    cfg = types.SimpleNamespace(zscore=5.0, beta=None)
+    outid = str(tmp_path / "ID4")
+    write_plots(outid, bins, segments, cfg)
+
+    bins_per_chr = np.array([len(r) for r in bins.results_r])
+    chr_starts = np.concatenate([[0], np.cumsum(bins_per_chr)[:-1]])
+    total = int(np.sum(bins_per_chr))
+    ratio = np.concatenate(bins.results_r).astype(float)
+
+    # Expected classification, straight from the golden segments.bed.
+    expect = np.zeros(total, dtype=int)  # 0 neutral, +1 gain, -1 loss
+    for chrom, s_bin, e_bin, z, _r in segments:
+        lo = int(chr_starts[chrom] + s_bin)
+        hi = int(chr_starts[chrom] + e_bin)
+        if z > cfg.zscore:
+            expect[lo:hi] = 1
+        elif z < -cfg.zscore:
+            expect[lo:hi] = -1
+    plotted = ratio != 0  # zero-ratio (blacklisted) bins are not drawn
+
+    fig = captured_figs["genome_wide.png"]
+    ax = fig.axes[0]
+    xs, classes = [], []
+    for coll in ax.collections:
+        if type(coll).__name__ != "PathCollection":
+            continue
+        offs = np.asarray(coll.get_offsets())
+        cols = np.asarray(coll.get_facecolor())
+        if len(cols) == 1 and len(offs) > 1:
+            cols = np.repeat(cols, len(offs), axis=0)
+        for (x, _y), c in zip(offs, cols):
+            xs.append(int(round(x)))
+            if np.allclose(c[:3], COLOR_C, atol=1e-6):
+                classes.append(1)
+            elif np.allclose(c[:3], np.array([227, 200, 138]) / 255,
+                             atol=1e-6):
+                classes.append(-1)
+            else:
+                classes.append(0)
+    xs = np.array(xs)
+    classes = np.array(classes)
+
+    # Exact per-class counts.
+    for cls in (-1, 0, 1):
+        want = int(np.sum(expect[plotted] == cls))
+        got = int(np.sum(classes == cls))
+        assert got == want, f"class {cls}: {got} dots, expected {want}"
+
+    # Exact positions of every gain dot == golden chr21 gain bins.
+    want_gain_x = set(np.nonzero(plotted & (expect == 1))[0].tolist())
+    got_gain_x = set(xs[classes == 1].tolist())
+    assert got_gain_x == want_gain_x
+
+
+def test_golden_segment_rectangles_exact(golden, captured_figs, tmp_path):
+    """Segment rectangles carry the golden coordinates and ratios: for
+    every segments.bed row there is exactly one rectangle spanning its
+    bin range whose height equals its ratio (reference plotter.R:284-292
+    draws the segment mean line at the recomputed weighted-mean
+    ratio)."""
+    from matplotlib.patches import Rectangle
+
+    bins, segments = golden
+    cfg = types.SimpleNamespace(zscore=5.0, beta=None)
+    outid = str(tmp_path / "ID5")
+    write_plots(outid, bins, segments, cfg)
+
+    bins_per_chr = np.array([len(r) for r in bins.results_r])
+    chr_starts = np.concatenate([[0], np.cumsum(bins_per_chr)[:-1]])
+
+    fig = captured_figs["genome_wide.png"]
+    ax = fig.axes[0]
+    rects = [
+        (p.get_x(), p.get_width(), p.get_height())
+        for p in ax.patches
+        if isinstance(p, Rectangle)
+    ]
+    assert len(rects) == len(segments)
+    want = sorted(
+        (
+            float(chr_starts[chrom] + s_bin),
+            float(e_bin - s_bin),
+            float(r),
+        )
+        for chrom, s_bin, e_bin, _z, r in segments
+    )
+    got = sorted(rects)
+    for (wx, ww, wr), (gx, gw, gr) in zip(want, got):
+        assert gx == wx and gw == ww, "rectangle bin range drifted"
+        assert abs(gr - wr) < 1e-9, "rectangle height != golden ratio"

@@ -166,7 +166,8 @@ def save_reference_npz(
 
 
 def _savez_fast(path, arrays: dict) -> None:
-    """``np.savez_compressed``-compatible writer, parallel + zlib level 1.
+    """``np.savez_compressed``-compatible writer: parallel zlib level 1
+    with per-member adaptive STORED.
 
     numpy hardwires single-threaded deflate level 6, which compresses the
     ~0.5 GB of index/distance tables at ~30-40 MB/s.  Here each member's
@@ -174,19 +175,31 @@ def _savez_fast(path, arrays: dict) -> None:
     joined with Z_FULL_FLUSH boundaries (the pigz construction — a fully
     valid single deflate stream), with the chunks compressed at level 1
     on a thread pool (zlib releases the GIL), and the zip container
-    written by hand.  ~10x the numpy writer; the result is an ordinary
-    npz (zip of .npy members) that ``np.load`` — ours or the
-    reference's — reads identically.
+    written by hand.  The result is an ordinary npz (zip of .npy
+    members) that ``np.load`` — ours or the reference's — reads
+    identically.
+
+    **Adaptive STORED**: float distance/null tables are near-random in
+    the mantissa bytes and deflate to only ~0.85-0.95 of their size at
+    ~30 MB/s per core — on a small host that is the bulk of both the
+    newref write wall and the predict load wall (decompression runs at a
+    similar rate).  A 4 MiB probe per big member decides: if deflate
+    saves < 35% the member is stored raw (zip method 0 — still a fully
+    standard npz), trading cheap disk bytes for tens of seconds of CPU
+    on both ends.  ``WCX_NPZ_COMPRESS=always|never|auto`` overrides.
 
     Falls back to numpy's writer for members >= 4 GiB (zip64 territory).
     """
     import io
+    import os
     import struct
     import zlib
     from concurrent.futures import ThreadPoolExecutor
 
     if not str(path).endswith(".npz"):
         path = str(path) + ".npz"
+
+    mode = os.environ.get("WCX_NPZ_COMPRESS", "auto")
 
     members = []
     for key, val in arrays.items():
@@ -200,8 +213,22 @@ def _savez_fast(path, arrays: dict) -> None:
         return
 
     chunk = 1 << 23  # 8 MiB per deflate chunk
+    probe = 1 << 22
+
+    def want_deflate(raw) -> bool:
+        if mode == "always":
+            return True
+        if mode == "never":
+            return len(raw) < (1 << 20)  # small members always deflate
+        if len(raw) < (1 << 22):
+            return True
+        co = zlib.compressobj(1, zlib.DEFLATED, -15)
+        sample = co.compress(bytes(raw[:probe])) + co.flush()
+        return len(sample) / probe <= 0.65
 
     def compress_member(raw):
+        if not want_deflate(raw):
+            return None, zlib.crc32(raw)  # stored
         pieces = [
             bytes(raw[a : a + chunk]) for a in range(0, len(raw), chunk)
         ] or [b""]
@@ -229,8 +256,9 @@ def _savez_fast(path, arrays: dict) -> None:
     lim = 2**32 - 1
     offset = 0
     for (name, raw), (data, _) in zip(members, compressed):
-        offset += 30 + len(name.encode()) + len(data)
-        if len(data) >= lim or offset >= lim:
+        size = len(raw) if data is None else len(data)
+        offset += 30 + len(name.encode()) + size
+        if size >= lim or offset >= lim:
             np.savez_compressed(path, **arrays)
             return
 
@@ -239,19 +267,21 @@ def _savez_fast(path, arrays: dict) -> None:
         for (name, raw), (data, crc) in zip(members, compressed):
             offset = f.tell()
             nameb = name.encode()
-            # Local file header: deflate, no flags, zeroed DOS timestamp.
+            method = 0 if data is None else 8  # stored / deflate
+            payload = raw if data is None else data
+            # Local file header: no flags, zeroed DOS timestamp.
             f.write(
                 struct.pack(
-                    "<IHHHHHIIIHH", 0x04034B50, 20, 0, 8, 0, 0,
-                    crc, len(data), len(raw), len(nameb), 0,
+                    "<IHHHHHIIIHH", 0x04034B50, 20, 0, method, 0, 0,
+                    crc, len(payload), len(raw), len(nameb), 0,
                 )
                 + nameb
             )
-            f.write(data)
+            f.write(payload)
             central.append(
                 struct.pack(
-                    "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 8, 0, 0,
-                    crc, len(data), len(raw), len(nameb),
+                    "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, method,
+                    0, 0, crc, len(payload), len(raw), len(nameb),
                     0, 0, 0, 0, 0, offset,
                 )
                 + nameb

@@ -392,13 +392,16 @@ def predict(
     # compiles on threads while normalization runs (the axon TPU path
     # cannot cache executables across processes, ROADMAP.md).
     from wisecondorx_tpu.ops.cbs import CBSConfig
-    from wisecondorx_tpu.utils.warmup import start_cbs_warmup
+    from wisecondorx_tpu.utils import warmup as warmup_mod
 
     a_pass = ref_passes.get("A") or next(iter(ref_passes.values()))
-    start_cbs_warmup(
-        int(np.max(a_pass["bins_per_chr"])),
-        CBSConfig(alpha=cfg.alpha, seed=cfg.seed if cfg.seed is not None else 0),
-    )
+    if not warmup_mod._predict_warm_started:
+        warmup_mod.start_cbs_warmup(
+            int(np.max(a_pass["bins_per_chr"])),
+            CBSConfig(
+                alpha=cfg.alpha, seed=cfg.seed if cfg.seed is not None else 0
+            ),
+        )
     bins = predict_bins(
         sample, sample_binsize, ref_passes, ref_meta, cfg, loader=loader
     )

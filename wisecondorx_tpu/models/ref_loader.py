@@ -54,6 +54,52 @@ class PassTables:
         self.ct = ct
 
 
+def translate_and_mask(idx, dist, ml: MaskedLayout, ct: int, cutoff: float):
+    """Fused neighbour-index translation + cutoff fold for target rows
+    [ct:]: ``MaskedLayout.neighbour_to_global`` then
+    ``ops.normalize.sentinel_indexes`` in one multi-threaded native pass
+    (integer math + one float compare — bit-identical to the numpy
+    fallback, which serves when the native library is unavailable)."""
+    rows, k = idx.shape
+    chr_rows = ml.chr_of_masked_bin[ct : ct + rows]
+    starts = np.ascontiguousarray(ml.masked_chr_starts[chr_rows])
+    sizes = np.ascontiguousarray(ml.masked_bins_per_chr[chr_rows])
+    try:
+        import ctypes
+
+        from wisecondorx_tpu.io.bam import _load_library
+
+        lib = _load_library()
+        fn = lib.wcx_sentinel_translate
+    except Exception:
+        fn = None
+    idx = np.ascontiguousarray(idx)
+    dist = np.ascontiguousarray(dist)
+    if (
+        fn is not None
+        and idx.dtype in (np.int32, np.int64)
+        and dist.dtype in (np.float32, np.float64)
+    ):
+        out = np.empty((rows, k), dtype=np.int32)
+        fn.restype = ctypes.c_int
+        rc = fn(
+            idx.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(idx.dtype.itemsize),
+            dist.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(dist.dtype.itemsize),
+            ctypes.c_int64(rows),
+            ctypes.c_int64(k),
+            starts.astype(np.int64).ctypes.data_as(ctypes.c_void_p),
+            sizes.astype(np.int64).ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_double(cutoff),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == 0:
+            return out
+    gi = ml.neighbour_to_global(idx, row_start=ct)
+    return norm_ops.sentinel_indexes(gi, dist, cutoff)
+
+
 def pass_ct(ref_pass_small: dict, gender: str) -> int:
     """First target row of a pass: 0 for "A", the pre-chrX masked bin
     count for gonosomal passes (reference predict_control.py:22-29)."""
@@ -77,8 +123,7 @@ def build_pass_tables(
     idx = np.asarray(ref_pass["indexes"])[ct:]
     dist = np.asarray(ref_pass["distances"])[ct:]
     weights = norm_ops.get_weights(dist)
-    gi = ml.neighbour_to_global(idx, row_start=ct)
-    sent = norm_ops.sentinel_indexes(gi, dist, cutoff)
+    sent = translate_and_mask(idx, dist, ml, ct, cutoff)
     if upload:
         sent = jax.device_put(sent)
     return PassTables(sent, weights, ml, ct)
@@ -129,8 +174,11 @@ class ReferenceLoader:
         # Quirk preserved: the cutoff always derives from the *autosomal*
         # pass distances, even for the gonosomal pass (reference
         # predict_control.py:34 reads the unsuffixed "distances" key).
+        from wisecondorx_tpu.utils.log import stage_timer
+
         dist_a = self._futs[("dist", "A")].result()
-        return norm_ops.get_optimal_cutoff(dist_a, maskrepeats)
+        with stage_timer("predict.load.cutoff"):
+            return norm_ops.get_optimal_cutoff(dist_a, maskrepeats)
 
     def _tables(self, gender: str) -> PassTables:
         import jax
@@ -141,16 +189,17 @@ class ReferenceLoader:
             GenomeLayout(np.asarray(small["bins_per_chr"])),
             np.asarray(small["mask"], dtype=bool),
         )
+        from wisecondorx_tpu.utils.log import stage_timer
+
         idx = self._futs[("idx", gender)].result()
         dist = self._futs[("dist", gender)].result()
         idx_t = np.asarray(idx)[ct:]
         dist_t = np.asarray(dist)[ct:]
-        weights = norm_ops.get_weights(dist_t)
-        gi = ml.neighbour_to_global(idx_t, row_start=ct)
+        with stage_timer(f"predict.load.weights_{gender}"):
+            weights = norm_ops.get_weights(dist_t)
         cutoff = self._futs["cutoff"].result()
-        sent = norm_ops.sentinel_indexes(gi, dist_t, cutoff)
-        from wisecondorx_tpu.utils.log import stage_timer
-
+        with stage_timer(f"predict.load.translate_{gender}"):
+            sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
         with stage_timer(f"predict.load.upload_{gender}"):
             sent_dev = jax.device_put(sent)
             sent_dev.block_until_ready()

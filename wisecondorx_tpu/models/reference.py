@@ -236,6 +236,19 @@ def build_reference(
 
     start_warmup(warm_list)
 
+    # One cohort upload for the whole build: every pass consumes a
+    # row-prefix + column subset of this device-resident matrix (round-3
+    # re-uploaded ~400 MB per pass — ~18 s of the newref wall on the
+    # ~45 MB/s tunnel link).
+    on_device = cfg.device
+    if on_device is None:
+        on_device = jax.default_backend() == "tpu"
+    cohort_dev = None
+    if on_device:
+        with stage_timer("newref.cohort_upload"):
+            cohort_dev = jnp.asarray(matrix.astype(np.float32, copy=False))
+            cohort_dev.block_until_ready()
+
     for gender, cols in plan:
         saved = ckpt.load(f"pass_{gender}")
         if saved is not None:
@@ -252,6 +265,7 @@ def build_reference(
             passes[gender] = _build_pass(
                 gender, matrix[:, cols], layout, total_mask, cfg,
                 _null_chooser, ckpt=ckpt, pads=pads.get(gender),
+                cohort_dev=cohort_dev, cols=cols,
             )
         ckpt.save(
             f"pass_{gender}",
@@ -286,11 +300,15 @@ def _round_up_pad(x: int, m: int) -> int:
 
 
 def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
-                ckpt=None, pads=None):
+                ckpt=None, pads=None, cohort_dev=None, cols=None):
     """One reference pass (reference newref_control.py:24-80 + KNN stage).
 
     ``total_mask`` is mutated in place by the PCA-distance filter — the
     slice below aliases it exactly like the reference's mask view.
+
+    ``cohort_dev``: the build's single device-resident [total_bins, S]
+    float32 cohort; the pass's row-prefix/column subset is sliced on
+    device instead of re-uploading.
     """
     if ckpt is None:
         ckpt = NewrefCheckpoint(None)
@@ -311,37 +329,52 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
         if on_device:
             corrected = jnp.asarray(corrected)
     else:
-        # One cohort upload per pass; downstream matrices stay on device.
-        sub_dev = jnp.asarray(matrix[: tl.total_bins]) if on_device else None
-
-        corrected, components, mean = _normalize_and_pca(
-            matrix, tl, pass_mask, cfg, sub_dev
-        )
-
-        # PCA-distance bin filter (reference-fork addition,
-        # newref_control.py:38-58): drop bins far from the median profile.
+        # Downstream matrices stay on device; the pass's view of the
+        # cohort is a device slice/gather of the shared upload (or a
+        # fresh upload when no shared cohort exists).
+        sub_dev = None
         if on_device:
-            # Stats reduce on device; only the [n_masked] distance vector
-            # and the decision are host-side.
-            dist_to_med = np.asarray(_pca_distance_kernel(corrected))
-        else:
-            med_prof = np.median(corrected, axis=0)
-            dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
-        mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
-        cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
-        bad_bins = dist_to_med > cutoff
-        if np.any(bad_bins):
-            logging.info(
-                "Removing %d anomalous bins based on PCA distance "
-                "(cutoff=%.4f)",
-                int(bad_bins.sum()),
-                cutoff,
-            )
-            masked_indices = np.where(pass_mask)[0]
-            pass_mask[masked_indices[bad_bins]] = False  # mutates total_mask
+            if cohort_dev is not None:
+                sub_dev = _pass_subset_kernel(
+                    cohort_dev[: tl.total_bins],
+                    jnp.asarray(np.nonzero(cols)[0].astype(np.int32))
+                    if cols is not None and not np.all(cols)
+                    else None,
+                )
+            else:
+                sub_dev = jnp.asarray(matrix[: tl.total_bins])
+
+        with stage_timer(f"newref.pass_{gender}.pca"):
             corrected, components, mean = _normalize_and_pca(
                 matrix, tl, pass_mask, cfg, sub_dev
             )
+
+            # PCA-distance bin filter (reference-fork addition,
+            # newref_control.py:38-58): drop bins far from the median
+            # profile.
+            if on_device:
+                # Stats reduce on device; only the [n_masked] distance
+                # vector and the decision are host-side.
+                dist_to_med = np.asarray(_pca_distance_kernel(corrected))
+            else:
+                med_prof = np.median(corrected, axis=0)
+                dist_to_med = np.sum((corrected - med_prof) ** 2, axis=1)
+            mad = np.median(np.abs(dist_to_med - np.median(dist_to_med)))
+            cutoff = max(np.median(dist_to_med) + 10 * mad, 5.0)
+            bad_bins = dist_to_med > cutoff
+            if np.any(bad_bins):
+                logging.info(
+                    "Removing %d anomalous bins based on PCA distance "
+                    "(cutoff=%.4f)",
+                    int(bad_bins.sum()),
+                    cutoff,
+                )
+                masked_indices = np.where(pass_mask)[0]
+                # mutates total_mask
+                pass_mask[masked_indices[bad_bins]] = False
+                corrected, components, mean = _normalize_and_pca(
+                    matrix, tl, pass_mask, cfg, sub_dev
+                )
         ckpt.save(
             f"prep_{gender}",
             corrected=np.asarray(corrected),
@@ -443,23 +476,27 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
             indexes[a:b] = idx
             distances[a:b] = dist
     else:
-        idx, dist = search((r0, n_masked) if row_range else None)
-        indexes[r0:] = idx
-        distances[r0:] = dist
+        with stage_timer(f"newref.pass_{gender}.knn"):
+            idx, dist = search((r0, n_masked) if row_range else None)
+            indexes[r0:] = idx
+            distances[r0:] = dist
 
-    if dev_out is not None and "prefetched" in dev_out:
-        # Null chunks were computed and downloaded inside the search's
-        # fetch phase (pre_fetch_hook above) — just stitch the rows.
-        null_ratios = knn_ops.assemble_null_ratio_rows(
-            dev_out["prefetched"], n_masked
-        )
-    elif dev_out is not None and "indexes" in dev_out:
-        null_ratios = knn_ops.compute_null_ratios_device(
-            corrected, dev_out["indexes"], chosen, placeholder_rows=r0,
-            rows_pad=pads.get("rows_pad"),
-        )
-    else:
-        null_ratios = knn_ops.compute_null_ratios(corrected, indexes, chosen)
+    with stage_timer(f"newref.pass_{gender}.nulls"):
+        if dev_out is not None and "prefetched" in dev_out:
+            # Null chunks were computed and downloaded inside the search's
+            # fetch phase (pre_fetch_hook above) — just stitch the rows.
+            null_ratios = knn_ops.assemble_null_ratio_rows(
+                dev_out["prefetched"], n_masked
+            )
+        elif dev_out is not None and "indexes" in dev_out:
+            null_ratios = knn_ops.compute_null_ratios_device(
+                corrected, dev_out["indexes"], chosen, placeholder_rows=r0,
+                rows_pad=pads.get("rows_pad"),
+            )
+        else:
+            null_ratios = knn_ops.compute_null_ratios(
+                corrected, indexes, chosen
+            )
 
     return {
         "binsize": cfg.binsize,
@@ -503,6 +540,19 @@ def _normalize_gather_kernel(sub_dev, keep):
     """Per-sample depth normalization + masked-row gather, fused on device."""
     totals = jnp.sum(sub_dev, axis=0)
     return jnp.take(sub_dev, keep, axis=0) / totals
+
+
+def _pass_subset_kernel(rows_dev, cols_idx):
+    """Column subset of the shared cohort (device gather; no-op when the
+    pass uses every sample)."""
+    if cols_idx is None:
+        return rows_dev
+    return _take_cols(rows_dev, cols_idx)
+
+
+@jax.jit
+def _take_cols(rows_dev, cols_idx):
+    return jnp.take(rows_dev, cols_idx, axis=1)
 
 
 @jax.jit

@@ -122,6 +122,11 @@ def warm_newref_pass(
 #: compiling the pass that will not run (a third of the normalize warm).
 _gender_hint: dict = {"event": threading.Event(), "gender": None}
 
+#: Set once start_predict_warmup has been launched; predict() then skips
+#: spawning its own CBS warm pool (a second pool splits the buckets with
+#: the first and doubles the GIL-hungry tracing threads).
+_predict_warm_started = False
+
 
 def set_predict_gender_hint(gender: str) -> None:
     _gender_hint["gender"] = gender
@@ -184,12 +189,18 @@ def start_predict_warmup(ref_path, cfg=None):
             max_chr_bins = max(
                 int(np.max(h["bins_per_chr"])) for h in headers.values()
             )
-            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
+            # A-pass kernel FIRST and alone: it gates the first
+            # normalization (needed the moment the table upload lands),
+            # and concurrent tracing threads starve each other (and the
+            # loader's decompression) of the GIL — round-4 measurement:
+            # everything-at-once stretched a 13 s CBS warm to 41 s.
             warm_normalize_pass(headers["A"], "A")
             logging.info(
                 "predict normalize warm-up (A) done in %.1fs",
                 time.perf_counter() - t0,
             )
+            # CBS buckets are needed only after both normalizations.
+            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
             _gender_hint["event"].wait(timeout=60)
             hint = _gender_hint["gender"]
             genders = (
@@ -206,6 +217,9 @@ def start_predict_warmup(ref_path, cfg=None):
             logging.warning("predict warm-up failed: %s", e)
         finally:
             done.set()
+
+    global _predict_warm_started
+    _predict_warm_started = True
 
     threading.Thread(
         target=run, name="wcx-predict-warmup", daemon=True
