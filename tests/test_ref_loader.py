@@ -1,0 +1,115 @@
+"""Streamed reference loader: cached vs recomputed predict derivations
+must be bit-identical, row-sliced stored-member reads must equal full
+loads, and the loader-driven predict must equal the in-memory one."""
+
+import numpy as np
+import pytest
+
+from synthetic import CohortSim
+from wisecondorx_tpu.io import npz as io_npz
+from wisecondorx_tpu.io.npz import load_member_rows, load_reference_npz
+from wisecondorx_tpu.models.predictor import PredictConfig, predict_bins
+from wisecondorx_tpu.models.ref_loader import ReferenceLoader
+from wisecondorx_tpu.models.reference import NewrefConfig, build_reference
+from wisecondorx_tpu.ops import normalize as norm_ops
+
+
+@pytest.fixture(scope="module")
+def built_reference(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("loader")
+    sim = CohortSim(binsize=1e5, genome_scale=0.006, seed=41)
+    samples, _ = sim.cohort(8, 7)
+    passes, meta = build_reference(
+        [(s, 100000) for s in samples],
+        NewrefConfig(binsize=100000, refsize=25),
+    )
+    path = str(tmp / "ref.npz")
+    io_npz.save_reference_npz(
+        path, passes,
+        is_nipt=meta["is_nipt"], trained_cutoff=meta["trained_cutoff"],
+    )
+    test_sample = sim.sample("F", cnvs=[(17, 1, 5, 3.0)])
+    return path, passes, meta, test_sample
+
+
+def test_caches_equal_recomputation(built_reference):
+    path, passes, meta, _ = built_reference
+    for gender, p in passes.items():
+        dist = np.asarray(p["distances"])
+        np.testing.assert_array_equal(
+            p["wcx_weights"], norm_ops.get_weights(dist)
+        )
+        if gender == "A":
+            for r in (1, 3, 5, 10):
+                assert p["wcx_cutoffs"][r - 1] == norm_ops.get_optimal_cutoff(
+                    dist, r
+                )
+        c5 = float(passes["A"]["wcx_cutoffs"][4])
+        k = dist.shape[1]
+        ok = np.unpackbits(p["wcx_distok"], axis=1, count=k).astype(bool)
+        np.testing.assert_array_equal(
+            ok, np.asarray(dist, np.float64) < c5
+        )
+
+
+def test_row_sliced_member_read(built_reference):
+    path, passes, meta, _ = built_reference
+    full = np.load(path, allow_pickle=True)
+    for key in ("indexes", "distances", "indexes.F", "null_ratios"):
+        if key not in full:
+            continue
+        want = full[key]
+        for start in (0, 3, want.shape[0] - 1, want.shape[0] + 5):
+            got = load_member_rows(path, key, start)
+            np.testing.assert_array_equal(got, want[start:])
+
+
+def test_loader_predict_equals_in_memory(built_reference):
+    path, passes, meta, test_sample = built_reference
+    cfg = PredictConfig(minrefbins=10, seed=7)
+    ref_passes, ref_meta = load_reference_npz(path)
+    want = predict_bins(test_sample, 100000, ref_passes, ref_meta, cfg)
+
+    loader = ReferenceLoader(path)
+    got = predict_bins(
+        test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
+    )
+    assert got.ref_gender == want.ref_gender
+    for c in range(len(want.results_r)):
+        np.testing.assert_array_equal(got.results_r[c], want.results_r[c])
+        np.testing.assert_array_equal(got.results_z[c], want.results_z[c])
+        np.testing.assert_array_equal(got.results_w[c], want.results_w[c])
+        np.testing.assert_array_equal(got.results_nr[c], want.results_nr[c])
+
+
+def test_loader_uncached_reference_still_works(built_reference, tmp_path):
+    """A reference without the wcx_* caches (e.g. built by the reference
+    tool) takes the compute path and gives identical results."""
+    path, passes, meta, test_sample = built_reference
+    stripped = {
+        g: {k: v for k, v in p.items() if not k.startswith("wcx_")}
+        for g, p in passes.items()
+    }
+    bare = str(tmp_path / "bare.npz")
+    io_npz.save_reference_npz(
+        bare, stripped,
+        is_nipt=meta["is_nipt"], trained_cutoff=meta["trained_cutoff"],
+    )
+    cfg = PredictConfig(minrefbins=10, seed=7)
+    loader_c = ReferenceLoader(path)
+    cached = predict_bins(
+        test_sample, 100000, loader_c.passes, loader_c.meta, cfg,
+        loader=loader_c,
+    )
+    loader_b = ReferenceLoader(bare)
+    computed = predict_bins(
+        test_sample, 100000, loader_b.passes, loader_b.meta, cfg,
+        loader=loader_b,
+    )
+    for c in range(len(cached.results_r)):
+        np.testing.assert_array_equal(
+            cached.results_r[c], computed.results_r[c]
+        )
+        np.testing.assert_array_equal(
+            cached.results_z[c], computed.results_z[c]
+        )

@@ -119,6 +119,12 @@ PASS_KEYS = (
     "null_ratios",
 )
 
+#: Optional predict-side cache members (suffixed like PASS_KEYS): pure
+#: float64 functions of the stored tables, precomputed by newref so the
+#: predict stage skips decompressing/scanning the distance table.  The
+#: reference tool reads its known keys only, so these are invisible to it.
+OPTIONAL_PASS_KEYS = ("wcx_weights", "wcx_cutoffs", "wcx_distok")
+
 
 def flatten_reference(
     passes: dict, *, is_nipt: bool, trained_cutoff: float
@@ -143,6 +149,9 @@ def flatten_reference(
             if key not in arrays:
                 raise KeyError(f"pass {gender!r} missing key {key!r}")
             final[f"{key}{suffix}"] = arrays[key]
+        for key in OPTIONAL_PASS_KEYS:
+            if key in arrays:
+                final[f"{key}{suffix}"] = arrays[key]
     return final
 
 
@@ -222,6 +231,12 @@ def _savez_fast(path, arrays: dict) -> None:
             return len(raw) < (1 << 20)  # small members always deflate
         if len(raw) < (1 << 22):
             return True
+        if len(raw) >= (64 << 20):
+            # Big tables are stored outright: even a 2x ratio costs ~10 s
+            # per 0.5 GB per core on each END of the pipeline (newref
+            # write + every predict load), and stored members additionally
+            # admit seekable row-slice reads (load_member_rows).
+            return False
         co = zlib.compressobj(1, zlib.DEFLATED, -15)
         sample = co.compress(bytes(raw[:probe])) + co.flush()
         return len(sample) / probe <= 0.65
@@ -323,6 +338,11 @@ def load_reference_npz(path):
         if f"bins_per_chr{suffix}" not in npz:
             continue
         wanted.extend((gender, key, f"{key}{suffix}") for key in PASS_KEYS)
+        wanted.extend(
+            (gender, key, f"{key}{suffix}")
+            for key in OPTIONAL_PASS_KEYS
+            if f"{key}{suffix}" in npz
+        )
     with ThreadPoolExecutor(max_workers=4) as pool:
         arrays = list(
             pool.map(lambda w: np.load(
@@ -377,7 +397,56 @@ def load_reference_small(path):
         passes[gender] = {
             key: npz[f"{key}{suffix}"] for key in SMALL_PASS_KEYS
         }
+        for key in OPTIONAL_PASS_KEYS:
+            if f"{key}{suffix}" in npz:
+                passes[gender][key] = npz[f"{key}{suffix}"]
     return passes, meta
+
+
+def load_member_rows(path, key, row_start: int):
+    """Load ``npz[key][row_start:]`` — reading only the tail bytes when
+    the member is STORED (adaptive-stored big tables admit random access
+    inside the zip), else falling back to a full load + slice.
+
+    The gonosomal predict pass consumes only its chrX/chrY target rows
+    (~5% of the table); on a stored member this turns a ~0.5 GB read
+    into ~10 MB.
+    """
+    import zipfile
+
+    name = f"{key}.npy"
+    try:
+        with zipfile.ZipFile(path) as zf:
+            info = zf.getinfo(name)
+            if info.compress_type != 0:
+                raise KeyError  # deflated: full load below
+            with zf.open(name) as member:
+                version = np.lib.format.read_magic(member)
+                readers = {
+                    (1, 0): np.lib.format.read_array_header_1_0,
+                    (2, 0): np.lib.format.read_array_header_2_0,
+                }
+                reader = readers.get(
+                    tuple(version), np.lib.format.read_array_header_2_0
+                )
+                shape, fortran, dtype = reader(member)
+                if fortran or dtype.hasobject or len(shape) == 0:
+                    raise KeyError
+                row_bytes = int(
+                    np.prod(shape[1:], dtype=np.int64)
+                ) * dtype.itemsize
+                rows = shape[0] - row_start
+                if rows <= 0:
+                    return np.empty((0,) + shape[1:], dtype=dtype)
+                member.seek(row_start * row_bytes, 1)
+                buf = member.read(rows * row_bytes)
+            return np.frombuffer(buf, dtype=dtype).reshape(
+                (rows,) + shape[1:]
+            )
+    except (KeyError, OSError, ValueError):
+        return np.load(path, encoding="latin1", allow_pickle=True)[key][
+            row_start:
+        ]
 
 
 def reference_npz_headers(path):

@@ -153,22 +153,25 @@ class ReferenceLoader:
         )
         self._futs: dict = {}
         self._started = False
+        self._use_cache = False
 
     # -- internals --------------------------------------------------------
 
-    def _member(self, gender: str, key: str):
-        """Decompress one big npz member (own NpzFile handle per thread).
+    def _member(self, gender: str, key: str, row_start: int = 0):
+        """Load one big npz member (own handle per thread); stored
+        members honour ``row_start`` with a seek instead of a full read.
 
         The ``[timing]`` stages overlap each other (they run on the
         loader's thread pool) — they attribute where the bytes went, not
         additive wall-clock."""
+        from wisecondorx_tpu.io.npz import load_member_rows
         from wisecondorx_tpu.utils.log import stage_timer
 
         suffix = "" if gender == "A" else f".{gender}"
         with stage_timer(f"predict.load.{key}{suffix}"):
-            return np.load(self.path, encoding="latin1", allow_pickle=True)[
-                f"{key}{suffix}"
-            ]
+            return load_member_rows(
+                self.path, f"{key}{suffix}", row_start
+            )
 
     def _cutoff(self, maskrepeats: int) -> float:
         # Quirk preserved: the cutoff always derives from the *autosomal*
@@ -176,6 +179,9 @@ class ReferenceLoader:
         # predict_control.py:34 reads the unsuffixed "distances" key).
         from wisecondorx_tpu.utils.log import stage_timer
 
+        cached = self.passes["A"].get("wcx_cutoffs")
+        if cached is not None and maskrepeats <= len(np.atleast_1d(cached)):
+            return float(np.atleast_1d(cached)[maskrepeats - 1])
         dist_a = self._futs[("dist", "A")].result()
         with stage_timer("predict.load.cutoff"):
             return norm_ops.get_optimal_cutoff(dist_a, maskrepeats)
@@ -191,15 +197,32 @@ class ReferenceLoader:
         )
         from wisecondorx_tpu.utils.log import stage_timer
 
-        idx = self._futs[("idx", gender)].result()
-        dist = self._futs[("dist", gender)].result()
-        idx_t = np.asarray(idx)[ct:]
-        dist_t = np.asarray(dist)[ct:]
-        with stage_timer(f"predict.load.weights_{gender}"):
-            weights = norm_ops.get_weights(dist_t)
+        idx_t = np.asarray(self._futs[("idx", gender)].result())
         cutoff = self._futs["cutoff"].result()
+
+        # With the wcx_* caches (our own newref output) and the default
+        # --maskrepeats 5, the distance table is never touched: weights
+        # and the cutoff mask come from the cached members.
+        ok_t = None
+        if self._use_cache and "wcx_distok" in small:
+            k = idx_t.shape[1]
+            ok_t = np.unpackbits(
+                np.asarray(small["wcx_distok"])[ct:], axis=1, count=k
+            ).astype(bool)
+        if ok_t is not None and "wcx_weights" in small:
+            weights = np.asarray(small["wcx_weights"], np.float64)[ct:]
+            dist_t = None
+        else:
+            # The dist future was already row-sliced at ct (see start).
+            dist_t = np.asarray(self._futs[("dist", gender)].result())
+            with stage_timer(f"predict.load.weights_{gender}"):
+                weights = norm_ops.get_weights(dist_t)
         with stage_timer(f"predict.load.translate_{gender}"):
-            sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
+            if ok_t is not None:
+                gi = ml.neighbour_to_global(idx_t, row_start=ct)
+                sent = np.where(ok_t, gi, -1).astype(np.int32)
+            else:
+                sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
         with stage_timer(f"predict.load.upload_{gender}"):
             sent_dev = jax.device_put(sent)
             sent_dev.block_until_ready()
@@ -212,16 +235,36 @@ class ReferenceLoader:
     # -- public API -------------------------------------------------------
 
     def start(self, ref_gender: str, maskrepeats: int) -> None:
-        """Kick off decompression + host math + uploads for the "A" pass
-        and the resolved gonosomal pass."""
+        """Kick off loading + host math + uploads for the "A" pass and
+        the resolved gonosomal pass.
+
+        With the ``wcx_*`` caches present and ``--maskrepeats 5`` the
+        distance tables never load; index tables row-slice for the
+        gonosomal pass (stored members admit seeks)."""
         if self._started:
             return
         self._started = True
         genders = ["A"] + ([ref_gender] if ref_gender != "A" else [])
         sub = self._pool.submit
+        # The bit-packed cutoff mask is only valid at the repeats depth
+        # it was built for (the default 5).
+        self._use_cache = maskrepeats == 5
+        cutoffs = self.passes["A"].get("wcx_cutoffs")
+        cutoff_cached = cutoffs is not None and maskrepeats <= len(
+            np.atleast_1d(cutoffs)
+        )
         for g in genders:
-            self._futs[("idx", g)] = sub(self._member, g, "indexes")
-            self._futs[("dist", g)] = sub(self._member, g, "distances")
+            ct = pass_ct(self.passes[g], g)
+            self._futs[("idx", g)] = sub(self._member, g, "indexes", ct)
+            need_dist = not (
+                self._use_cache
+                and "wcx_distok" in self.passes[g]
+                and "wcx_weights" in self.passes[g]
+            )
+            if need_dist or (g == "A" and not cutoff_cached):
+                self._futs[("dist", g)] = sub(
+                    self._member, g, "distances", ct if need_dist else 0
+                )
         self._futs["cutoff"] = sub(self._cutoff, maskrepeats)
         for g in genders:
             self._futs[("tables", g)] = sub(self._tables, g)

@@ -258,7 +258,11 @@ def build_reference(
             total_mask[: len(saved["total_mask_after"])] &= saved[
                 "total_mask_after"
             ]
-            passes[gender] = {k: saved[k] for k in _PASS_KEYS}
+            passes[gender] = {
+                k: saved[k]
+                for k in _PASS_KEYS + _OPTIONAL_PASS_KEYS
+                if k in saved
+            }
             passes[gender]["binsize"] = int(saved["binsize"])
             continue
         with stage_timer(f"newref.pass_{gender}"):
@@ -272,6 +276,17 @@ def build_reference(
             total_mask_after=total_mask[: _truncated_len(layout, gender)],
             **passes[gender],
         )
+
+    # Bit-packed distance<cutoff masks at the default --maskrepeats 5:
+    # needs the A pass's cutoff schedule, so it runs after every pass is
+    # built (or restored).  See _predict_cache.
+    cutoffs = passes.get("A", {}).get("wcx_cutoffs")
+    if cutoffs is not None and len(cutoffs) >= 5:
+        with stage_timer("newref.distok_cache"):
+            c5 = float(cutoffs[4])
+            for p in passes.values():
+                ok = np.asarray(p["distances"], np.float64) < c5
+                p["wcx_distok"] = np.packbits(ok, axis=1)
 
     meta = {
         "is_nipt": nipt,
@@ -289,6 +304,9 @@ _PASS_KEYS = (
     "masked_bins_per_chr_cum", "pca_components", "pca_mean",
     "indexes", "distances", "null_ratios",
 )
+
+#: Predict-side caches (extra members the reference tool ignores).
+_OPTIONAL_PASS_KEYS = ("wcx_weights", "wcx_cutoffs", "wcx_distok")
 
 
 def _truncated_len(layout, gender):
@@ -375,13 +393,18 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 corrected, components, mean = _normalize_and_pca(
                     matrix, tl, pass_mask, cfg, sub_dev
                 )
-        ckpt.save(
-            f"prep_{gender}",
-            corrected=np.asarray(corrected),
-            components=components,
-            mean=mean,
-            mask_after=pass_mask,
-        )
+        if ckpt.enabled:
+            # Guard BEFORE building kwargs: np.asarray(corrected) is a
+            # ~380 MB device->host fetch per pass; evaluating it eagerly
+            # for a disabled checkpoint cost ~60 s of the round-4 newref
+            # wall on the ~25 MB/s tunnel readback path.
+            ckpt.save(
+                f"prep_{gender}",
+                corrected=np.asarray(corrected),
+                components=components,
+                mean=mean,
+                mask_after=pass_mask,
+            )
 
     ml = MaskedLayout(tl, pass_mask.copy())
     n_masked = ml.n_masked
@@ -498,7 +521,7 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 corrected, indexes, chosen
             )
 
-    return {
+    out = {
         "binsize": cfg.binsize,
         "mask": ml.mask,
         "bins_per_chr": np.asarray(tl.bins_per_chr),
@@ -510,6 +533,32 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
         "distances": distances,
         "null_ratios": null_ratios,
     }
+    with stage_timer(f"newref.pass_{gender}.predict_cache"):
+        out.update(_predict_cache(gender, distances))
+    return out
+
+
+def _predict_cache(gender: str, distances: np.ndarray) -> dict:
+    """Precomputed predict-side derivations, stored as extra npz members
+    (``wcx_*`` keys the reference tool ignores; SURVEY.md schema keys are
+    untouched).  All are pure float64 functions of the stored distance
+    table — byte-identical to what predict would recompute — and let the
+    predict stage skip decompressing/scanning the table entirely:
+
+    * ``wcx_weights``  — per-target-bin weights (predict_tools.py:152);
+    * ``wcx_cutoffs``  — optimal-cutoff schedule for maskrepeats 1..10
+      (A pass only; the gonosomal cutoff reuses it,
+      predict_control.py:34);
+    * ``wcx_distok``   — bit-packed ``distance < cutoff`` mask at the
+      default ``--maskrepeats 5`` (bits beyond k pad each row).
+    """
+    from wisecondorx_tpu.ops import normalize as norm_ops
+
+    out = {"wcx_weights": norm_ops.get_weights(distances)}
+    if gender == "A":
+        cutoffs = norm_ops.optimal_cutoff_schedule(distances)
+        out["wcx_cutoffs"] = cutoffs
+    return out
 
 
 def _normalize_and_pca(matrix, tl, pass_mask, cfg, sub_dev=None):

@@ -64,12 +64,30 @@ def get_optimal_cutoff(distances: np.ndarray, repeats: int) -> float:
     """Iterative mean+3*std over reference distances (reference
     predict_tools.py:74-82) — host numpy in float64: exact reference
     parity, and it spares the device a full distance-table upload."""
+    return float(optimal_cutoff_schedule(distances, repeats)[repeats - 1])
+
+
+#: Cutoff-iteration depths precomputed into the reference npz cache
+#: (``wcx_cutoffs``); covers every practical ``--maskrepeats``.
+CUTOFF_CACHE_REPEATS = 10
+
+
+def optimal_cutoff_schedule(
+    distances: np.ndarray, max_repeats: int = CUTOFF_CACHE_REPEATS
+) -> np.ndarray:
+    """Cutoff value after each of 1..max_repeats iterations — the exact
+    sequence :func:`get_optimal_cutoff` walks, so ``schedule[r-1] ==
+    get_optimal_cutoff(d, r)``.  newref caches this (it is a pure
+    function of the stored distance table) so predict can skip both the
+    distance-table decompression and ~10 s of host float64 statistics."""
     distances = np.asarray(distances, dtype=np.float64)
+    out = []
     cutoff = np.inf
-    for _ in range(repeats):
+    for _ in range(max_repeats):
         sel = distances[distances < cutoff]
         cutoff = float(np.mean(sel) + 3 * np.std(sel))
-    return cutoff
+        out.append(cutoff)
+    return np.array(out)
 
 
 def get_weights(distances: np.ndarray) -> np.ndarray:
