@@ -75,9 +75,10 @@ class BinResults:
     masked_layout: MaskedLayout
 
 
-def _pass_normalize(sample, ref_pass, cfg, tables):
-    """One normalization pass (reference predict_control.py:21-39) over
-    prebuilt :class:`~wisecondorx_tpu.models.ref_loader.PassTables`."""
+def _pass_normalize_dispatch(sample, ref_pass, tables):
+    """Dispatch one normalization pass (reference predict_control.py:21-39)
+    over prebuilt PassTables; returns unfetched device results so the
+    autosomal and gonosomal passes overlap on device."""
     masked_sample = norm_ops.coverage_normalize_and_mask(
         sample, np.asarray(ref_pass["bins_per_chr"]),
         np.asarray(ref_pass["mask"], dtype=bool),
@@ -87,10 +88,29 @@ def _pass_normalize(sample, ref_pass, cfg, tables):
         np.asarray(ref_pass["pca_components"]),
         np.asarray(ref_pass["pca_mean"]),
     )
-    z, r, ref_sizes, m_lr, m_z = norm_ops.normalize_repeat_pre(
+    return norm_ops._normalize_repeat_kernel(
         projected, tables.sentinel_idx, ct=tables.ct
     )
-    return z, r, tables.weights, ref_sizes, m_lr, m_z, tables.ml
+
+
+def _pass_fetch(dev_results, tables):
+    z, r, ref_sizes, m_lr, m_z = dev_results
+    return (
+        np.asarray(z),
+        np.asarray(r),
+        tables.weights,
+        np.asarray(ref_sizes, dtype=np.float64),
+        float(m_lr),
+        float(m_z),
+        tables.ml,
+    )
+
+
+def _pass_normalize(sample, ref_pass, cfg, tables):
+    """Synchronous single-pass normalization (kept as the unit surface)."""
+    return _pass_fetch(
+        _pass_normalize_dispatch(sample, ref_pass, tables), tables
+    )
 
 
 def prepare_sample(sample, sample_binsize, ref_passes, ref_meta, cfg):
@@ -192,15 +212,17 @@ def predict_bins(
         tables_a = build_pass_tables(a_pass, "A", cutoff)
         tables_g = build_pass_tables(g_pass, ref_gender, cutoff)
 
+    # Both passes dispatch before either result is fetched — the device
+    # pipelines them while the host waits once.
     with stage_timer("predict.normalize_autosomes"):
-        z_a, r_a, w_a, sizes_a, m_lr, m_z, _ = _pass_normalize(
-            sample, a_pass, cfg, tables_a
+        dev_a = _pass_normalize_dispatch(sample, a_pass, tables_a)
+        dev_g = _pass_normalize_dispatch(sample, g_pass, tables_g)
+        z_a, r_a, w_a, sizes_a, m_lr, m_z, _ = _pass_fetch(
+            dev_a, tables_a
         )
 
     with stage_timer("predict.normalize_gonosomes"):
-        z_g, r_g, w_g, sizes_g, _, _, g_ml = _pass_normalize(
-            sample, g_pass, cfg, tables_g
-        )
+        z_g, r_g, w_g, sizes_g, _, _, g_ml = _pass_fetch(dev_g, tables_g)
 
     if loader is not None:
         null_aut = loader.null_ratios("A")

@@ -100,6 +100,50 @@ def translate_and_mask(idx, dist, ml: MaskedLayout, ct: int, cutoff: float):
     return norm_ops.sentinel_indexes(gi, dist, cutoff)
 
 
+def translate_with_okbits(idx, ok_packed, ml: MaskedLayout, ct: int):
+    """Like :func:`translate_and_mask` but consuming the bit-packed
+    ``wcx_distok`` cache directly (big-endian numpy packbits layout) —
+    the cached path never materializes a distance or boolean table."""
+    rows, k = idx.shape
+    chr_rows = ml.chr_of_masked_bin[ct : ct + rows]
+    starts = np.ascontiguousarray(
+        ml.masked_chr_starts[chr_rows].astype(np.int64)
+    )
+    sizes = np.ascontiguousarray(
+        ml.masked_bins_per_chr[chr_rows].astype(np.int64)
+    )
+    idx = np.ascontiguousarray(idx)
+    ok_packed = np.ascontiguousarray(ok_packed)
+    try:
+        import ctypes
+
+        from wisecondorx_tpu.io.bam import _load_library
+
+        lib = _load_library()
+        fn = lib.wcx_sentinel_translate_ok
+    except Exception:
+        fn = None
+    if fn is not None and idx.dtype in (np.int32, np.int64):
+        out = np.empty((rows, k), dtype=np.int32)
+        fn.restype = ctypes.c_int
+        rc = fn(
+            idx.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(idx.dtype.itemsize),
+            ok_packed.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(ok_packed.shape[1]),
+            ctypes.c_int64(rows),
+            ctypes.c_int64(k),
+            starts.ctypes.data_as(ctypes.c_void_p),
+            sizes.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == 0:
+            return out
+    ok = np.unpackbits(ok_packed, axis=1, count=k).astype(bool)
+    gi = ml.neighbour_to_global(idx, row_start=ct)
+    return np.where(ok, gi, -1).astype(np.int32)
+
+
 def pass_ct(ref_pass_small: dict, gender: str) -> int:
     """First target row of a pass: 0 for "A", the pre-chrX masked bin
     count for gonosomal passes (reference predict_control.py:22-29)."""
@@ -109,10 +153,16 @@ def pass_ct(ref_pass_small: dict, gender: str) -> int:
 
 
 def build_pass_tables(
-    ref_pass: dict, gender: str, cutoff: float, upload: bool = True
+    ref_pass: dict, gender: str, cutoff: float, upload: bool = True,
+    a_pass: dict | None = None,
 ) -> PassTables:
     """Synchronous PassTables construction from an in-memory pass dict
-    (the test / non-streamed path; numerically identical to the loader)."""
+    (the test / batch path; numerically identical to the loader).
+
+    When ``a_pass`` (the autosomal pass, source of the cutoff quirk) is
+    given and ``cutoff`` equals its cached maskrepeats-5 value, the
+    ``wcx_*`` caches serve weights and the cutoff mask — skipping the
+    distance-table scan exactly like the streamed loader."""
     import jax
 
     ct = pass_ct(ref_pass, gender)
@@ -121,9 +171,24 @@ def build_pass_tables(
         np.asarray(ref_pass["mask"], dtype=bool),
     )
     idx = np.asarray(ref_pass["indexes"])[ct:]
-    dist = np.asarray(ref_pass["distances"])[ct:]
-    weights = norm_ops.get_weights(dist)
-    sent = translate_and_mask(idx, dist, ml, ct, cutoff)
+    cutoffs = np.atleast_1d(
+        a_pass.get("wcx_cutoffs", [])
+    ) if a_pass is not None else np.array([])
+    cached = (
+        len(cutoffs) >= 5
+        and cutoff == float(cutoffs[4])
+        and "wcx_distok" in ref_pass
+        and "wcx_weights" in ref_pass
+    )
+    if cached:
+        weights = np.asarray(ref_pass["wcx_weights"], np.float64)[ct:]
+        sent = translate_with_okbits(
+            idx, np.asarray(ref_pass["wcx_distok"])[ct:], ml, ct
+        )
+    else:
+        dist = np.asarray(ref_pass["distances"])[ct:]
+        weights = norm_ops.get_weights(dist)
+        sent = translate_and_mask(idx, dist, ml, ct, cutoff)
     if upload:
         sent = jax.device_put(sent)
     return PassTables(sent, weights, ml, ct)
@@ -205,10 +270,7 @@ class ReferenceLoader:
         # and the cutoff mask come from the cached members.
         ok_t = None
         if self._use_cache and "wcx_distok" in small:
-            k = idx_t.shape[1]
-            ok_t = np.unpackbits(
-                np.asarray(small["wcx_distok"])[ct:], axis=1, count=k
-            ).astype(bool)
+            ok_t = np.asarray(small["wcx_distok"])[ct:]
         if ok_t is not None and "wcx_weights" in small:
             weights = np.asarray(small["wcx_weights"], np.float64)[ct:]
             dist_t = None
@@ -219,8 +281,7 @@ class ReferenceLoader:
                 weights = norm_ops.get_weights(dist_t)
         with stage_timer(f"predict.load.translate_{gender}"):
             if ok_t is not None:
-                gi = ml.neighbour_to_global(idx_t, row_start=ct)
-                sent = np.where(ok_t, gi, -1).astype(np.int32)
+                sent = translate_with_okbits(idx_t, ok_t, ml, ct)
             else:
                 sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
         with stage_timer(f"predict.load.upload_{gender}"):

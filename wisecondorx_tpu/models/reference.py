@@ -149,18 +149,23 @@ def build_reference(
     with stage_timer("newref.mask"):
         matrix, layout = samples_to_matrix(samples)
         matrix = matrix.astype(cfg.dtype)
+        # One depth normalization serves the total mask and both
+        # per-gender sub-masks (column subsets of a per-column
+        # normalization are identical to normalizing the subsets).
+        normed = mask_ops.depth_normalize(matrix)
         # np.array (not asarray): jax buffers are read-only and this mask is
         # mutated in place by the PCA-distance filter.
-        total_mask = np.array(mask_ops.get_mask(matrix))
+        total_mask = np.array(mask_ops.mask_from_normed(normed))
         genders_arr = np.array(genders, dtype=object)
         if genders.count("F") > 4:
             total_mask &= np.asarray(
-                mask_ops.get_mask(matrix[:, genders_arr == "F"])
+                mask_ops.mask_from_normed(normed[:, genders_arr == "F"])
             )
         if genders.count("M") > 4 and not nipt:
             total_mask &= np.asarray(
-                mask_ops.get_mask(matrix[:, genders_arr == "M"])
+                mask_ops.mask_from_normed(normed[:, genders_arr == "M"])
             )
+        del normed
 
     passes = {}
     plan = [("A", np.ones(len(genders), dtype=bool))]
@@ -249,6 +254,41 @@ def build_reference(
             cohort_dev = jnp.asarray(matrix.astype(np.float32, copy=False))
             cohort_dev.block_until_ready()
 
+        # Warm the per-pass column-gather program shapes on a thread —
+        # the F/M passes hit them long after they compile.
+        def _warm_gather():
+            import threading as _t  # noqa: F401  (daemon context)
+
+            try:
+                for gender_w, cols_w in plan:
+                    if cols_w is None or np.all(cols_w):
+                        continue
+                    tl_w = layout.truncated(LAST_CHR[gender_w])
+                    _take_cols(
+                        cohort_dev[: tl_w.total_bins],
+                        jnp.asarray(
+                            np.zeros(int(cols_w.sum()), np.int32)
+                        ),
+                    )
+            except Exception:  # best-effort
+                pass
+
+        import threading
+
+        threading.Thread(
+            target=_warm_gather, name="wcx-gather-warm", daemon=True
+        ).start()
+
+    # Predict-side cache computation (weights, cutoff schedule) is pure
+    # host float64 math over each finished pass's distance table — it
+    # overlaps the NEXT pass's device work on this thread pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache_pool = ThreadPoolExecutor(
+        max_workers=2, thread_name_prefix="wcx-predict-cache"
+    )
+    cache_futs = {}
+
     for gender, cols in plan:
         saved = ckpt.load(f"pass_{gender}")
         if saved is not None:
@@ -264,18 +304,27 @@ def build_reference(
                 if k in saved
             }
             passes[gender]["binsize"] = int(saved["binsize"])
-            continue
-        with stage_timer(f"newref.pass_{gender}"):
-            passes[gender] = _build_pass(
-                gender, matrix[:, cols], layout, total_mask, cfg,
-                _null_chooser, ckpt=ckpt, pads=pads.get(gender),
-                cohort_dev=cohort_dev, cols=cols,
+        else:
+            with stage_timer(f"newref.pass_{gender}"):
+                passes[gender] = _build_pass(
+                    gender, matrix[:, cols], layout, total_mask, cfg,
+                    _null_chooser, ckpt=ckpt, pads=pads.get(gender),
+                    cohort_dev=cohort_dev, cols=cols,
+                )
+            ckpt.save(
+                f"pass_{gender}",
+                total_mask_after=total_mask[: _truncated_len(layout, gender)],
+                **passes[gender],
             )
-        ckpt.save(
-            f"pass_{gender}",
-            total_mask_after=total_mask[: _truncated_len(layout, gender)],
-            **passes[gender],
-        )
+        if "wcx_weights" not in passes[gender]:
+            cache_futs[gender] = cache_pool.submit(
+                _predict_cache, gender, passes[gender]["distances"]
+            )
+
+    with stage_timer("newref.predict_cache"):
+        for gender, fut in cache_futs.items():
+            passes[gender].update(fut.result())
+        cache_pool.shutdown()
 
     # Bit-packed distance<cutoff masks at the default --maskrepeats 5:
     # needs the A pass's cutoff schedule, so it runs after every pass is
@@ -285,8 +334,9 @@ def build_reference(
         with stage_timer("newref.distok_cache"):
             c5 = float(cutoffs[4])
             for p in passes.values():
-                ok = np.asarray(p["distances"], np.float64) < c5
-                p["wcx_distok"] = np.packbits(ok, axis=1)
+                if "wcx_distok" not in p:
+                    ok = np.asarray(p["distances"], np.float64) < c5
+                    p["wcx_distok"] = np.packbits(ok, axis=1)
 
     meta = {
         "is_nipt": nipt,
@@ -352,15 +402,17 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
         # fresh upload when no shared cohort exists).
         sub_dev = None
         if on_device:
-            if cohort_dev is not None:
-                sub_dev = _pass_subset_kernel(
-                    cohort_dev[: tl.total_bins],
-                    jnp.asarray(np.nonzero(cols)[0].astype(np.int32))
-                    if cols is not None and not np.all(cols)
-                    else None,
-                )
-            else:
-                sub_dev = jnp.asarray(matrix[: tl.total_bins])
+            with stage_timer(f"newref.pass_{gender}.subset"):
+                if cohort_dev is not None:
+                    sub_dev = _pass_subset_kernel(
+                        cohort_dev[: tl.total_bins],
+                        jnp.asarray(np.nonzero(cols)[0].astype(np.int32))
+                        if cols is not None and not np.all(cols)
+                        else None,
+                    )
+                    sub_dev.block_until_ready()
+                else:
+                    sub_dev = jnp.asarray(matrix[: tl.total_bins])
 
         with stage_timer(f"newref.pass_{gender}.pca"):
             corrected, components, mean = _normalize_and_pca(
@@ -521,7 +573,7 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 corrected, indexes, chosen
             )
 
-    out = {
+    return {
         "binsize": cfg.binsize,
         "mask": ml.mask,
         "bins_per_chr": np.asarray(tl.bins_per_chr),
@@ -533,9 +585,6 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
         "distances": distances,
         "null_ratios": null_ratios,
     }
-    with stage_timer(f"newref.pass_{gender}.predict_cache"):
-        out.update(_predict_cache(gender, distances))
-    return out
 
 
 def _predict_cache(gender: str, distances: np.ndarray) -> dict:

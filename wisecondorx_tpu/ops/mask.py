@@ -23,8 +23,18 @@ def get_mask(matrix: np.ndarray) -> np.ndarray:
     Returns bool[total_bins].
     """
     matrix = np.asarray(matrix)
-    normed = matrix / matrix.sum(axis=0)
-    sum_per_bin = normed.sum(axis=1)
+    return mask_from_normed(matrix / matrix.sum(axis=0))
+
+
+def mask_from_normed(normed: np.ndarray) -> np.ndarray:
+    """Mask from an already depth-normalized matrix.
+
+    Depth normalization is per-column, so a column subset of the
+    normalized cohort equals normalizing the subset — the F/M sub-masks
+    reuse one normalization instead of re-dividing the ~1 GB matrix
+    (reference newref_tools.py:92-100 recomputes it per call).
+    """
+    sum_per_bin = np.asarray(normed).sum(axis=1)
     median_cov = np.median(sum_per_bin[sum_per_bin > 0])
     return sum_per_bin > (0.05 * median_cov)
 

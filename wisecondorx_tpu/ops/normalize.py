@@ -83,8 +83,15 @@ def optimal_cutoff_schedule(
     distances = np.asarray(distances, dtype=np.float64)
     out = []
     cutoff = np.inf
+    prev_n = -1
     for _ in range(max_repeats):
         sel = distances[distances < cutoff]
+        if sel.size == prev_n:
+            # The selection is unchanged, so every further iteration
+            # yields the same mean/std/cutoff — fill and stop (exact).
+            out.extend([cutoff] * (max_repeats - len(out)))
+            break
+        prev_n = sel.size
         cutoff = float(np.mean(sel) + 3 * np.std(sel))
         out.append(cutoff)
     return np.array(out)

@@ -43,7 +43,7 @@ def _batched_kernel(
 
 def _run_pass_batched(
     samples, ref_pass, gender, optimal_cutoff, mesh=None, chunk=8,
-    tables=None,
+    tables=None, a_pass=None,
 ):
     """Run one normalization pass for a batch of prepared samples.
 
@@ -55,7 +55,8 @@ def _run_pass_batched(
     mask = np.asarray(ref_pass["mask"], dtype=bool)
     if tables is None:
         tables = build_pass_tables(
-            ref_pass, gender, optimal_cutoff, upload=(mesh is None)
+            ref_pass, gender, optimal_cutoff, upload=(mesh is None),
+            a_pass=a_pass,
         )
     ml = tables.ml
     ct = tables.ct
@@ -145,12 +146,17 @@ def predict_batch(
         return [None] * len(samples_with_binsize)
 
     a_pass = ref_passes["A"]
-    cutoff = norm_ops.get_optimal_cutoff(
-        np.asarray(a_pass["distances"]), cfg.maskrepeats
-    )
+    cutoffs = np.atleast_1d(a_pass.get("wcx_cutoffs", []))
+    if cfg.maskrepeats <= len(cutoffs):
+        cutoff = float(cutoffs[cfg.maskrepeats - 1])
+    else:
+        cutoff = norm_ops.get_optimal_cutoff(
+            np.asarray(a_pass["distances"]), cfg.maskrepeats
+        )
 
     a_out, _ = _run_pass_batched(
-        [p[0] for p in prepped], a_pass, "A", cutoff, mesh, chunk
+        [p[0] for p in prepped], a_pass, "A", cutoff, mesh, chunk,
+        a_pass=a_pass,
     )
 
     results: list = [None] * len(samples_with_binsize)
@@ -161,7 +167,7 @@ def predict_batch(
         g_pass = ref_passes[gender]
         g_out, g_ml = _run_pass_batched(
             [prepped[i][0] for i in idxs], g_pass, gender, cutoff, mesh,
-            chunk,
+            chunk, a_pass=a_pass,
         )
         for j, i in enumerate(idxs):
             z_g, r_g, w_g, sizes_g, _, _ = g_out[j]

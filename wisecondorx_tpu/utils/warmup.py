@@ -189,18 +189,18 @@ def start_predict_warmup(ref_path, cfg=None):
             max_chr_bins = max(
                 int(np.max(h["bins_per_chr"])) for h in headers.values()
             )
-            # A-pass kernel FIRST and alone: it gates the first
-            # normalization (needed the moment the table upload lands),
-            # and concurrent tracing threads starve each other (and the
-            # loader's decompression) of the GIL — round-4 measurement:
-            # everything-at-once stretched a 13 s CBS warm to 41 s.
+            # CBS buckets warm concurrently with the A-pass kernel: with
+            # the loader now cache-driven (near-zero host CPU) the
+            # remaining contention is two tracing threads, and the CBS
+            # warm is mostly remote-compile wait (measured 9.7 s for 9
+            # buckets).  The original everything-at-once pathology came
+            # from the since-removed decompress/cutoff host work.
+            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
             warm_normalize_pass(headers["A"], "A")
             logging.info(
                 "predict normalize warm-up (A) done in %.1fs",
                 time.perf_counter() - t0,
             )
-            # CBS buckets are needed only after both normalizations.
-            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
             _gender_hint["event"].wait(timeout=60)
             hint = _gender_hint["gender"]
             genders = (
@@ -276,6 +276,7 @@ def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
     if key in _warmed_cbs:
         return
     _warmed_cbs.add(key)
+    t0 = time.perf_counter()
     S = cfg.seg_batch
     w_seg = jnp.asarray(np.ones((S, n_pad), dtype=np.float64))
     wx_seg = jnp.asarray(np.zeros((S, n_pad), dtype=np.float64))
@@ -305,6 +306,10 @@ def warm_cbs_bucket(n_pad: int, cfg=None) -> None:
             )
     # Exact breakpoint-location scan (runs once per accepted split).
     cbs_ops._locate_batch(w_seg, wx_seg, n_seg, cfg.min_width)
+    logging.info(
+        "[timing] warmup.cbs_bucket_%d: %.3fs", n_pad,
+        time.perf_counter() - t0,
+    )
 
 
 def start_cbs_warmup(
