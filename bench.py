@@ -201,9 +201,18 @@ def kernel_benchmarks(n_samples):
     flops = 2.0 * rows * n * n_samples
     out["knn_tflops"] = flops / dt / 1e12
     out["knn_kernel_s"] = dt
+    # Roofline context: the distance matmul runs at Precision.HIGHEST
+    # (6-pass bf16 emulation of f32 — ops/common.py), so the relevant
+    # ceiling on this v5e chip is ~197 bf16 TFLOP/s / 6 ~= 33 effective
+    # f32 TFLOP/s; the quotient is the MXU utilization of the WHOLE
+    # fused kernel (matmul + in-VMEM top-k + staging), not matmul-only.
+    f32_peak = 197.0 / 6.0
+    out["knn_mfu_pct"] = 100.0 * out["knn_tflops"] / f32_peak
     log(
         f"kernel: KNN {rows} rows x {n} cands x {n_samples} samples in "
-        f"{dt:.2f}s -> {out['knn_tflops']:.2f} effective f32 TFLOP/s"
+        f"{dt:.2f}s -> {out['knn_tflops']:.2f} effective f32 TFLOP/s "
+        f"(~{out['knn_mfu_pct']:.0f}% of the ~{f32_peak:.0f} TFLOP/s "
+        "HIGHEST-precision ceiling, top-k included)"
     )
 
     # --- CBS perm round ---

@@ -309,7 +309,11 @@ def tool_test_batch(args):
         outids.append(
             os.path.join(args.outdir, base[:-4] if base.endswith(".npz") else base)
         )
-    passes, meta = load_reference_npz(args.reference)
+    # The wcx_* caches replace the distance tables at the default
+    # maskrepeats depth — skip ~1 GB of member loading when possible.
+    passes, meta = load_reference_npz(
+        args.reference, skip_distances_if_cached=(args.maskrepeats == 5)
+    )
 
     # Local devices only: under multi-host each process data-parallels its
     # own shard over its own chips.

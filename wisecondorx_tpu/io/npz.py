@@ -208,8 +208,11 @@ def _savez_fast(path, arrays: dict) -> None:
     if not str(path).endswith(".npz"):
         path = str(path) + ".npz"
 
+    import time
+
     mode = os.environ.get("WCX_NPZ_COMPRESS", "auto")
 
+    t0 = time.perf_counter()
     members = []
     for key, val in arrays.items():
         buf = io.BytesIO()
@@ -217,6 +220,7 @@ def _savez_fast(path, arrays: dict) -> None:
             buf, np.asanyarray(val), allow_pickle=True
         )
         members.append((f"{key}.npy", buf.getbuffer()))
+    t_ser = time.perf_counter()
     if any(len(raw) >= 2**32 - 1 for _, raw in members):
         np.savez_compressed(path, **arrays)  # zip64: numpy handles it
         return
@@ -264,6 +268,7 @@ def _savez_fast(path, arrays: dict) -> None:
         compressed = list(
             pool.map(lambda m: compress_member(m[1]), members)
         )
+    t_comp = time.perf_counter()
 
     # Any 32-bit zip field overflowing (compressed size, or the running
     # archive offset of a later member / the central directory) needs
@@ -311,9 +316,13 @@ def _savez_fast(path, arrays: dict) -> None:
                 len(central), len(central), cd_size, cd_start, 0,
             )
         )
+    logging.info(
+        "npz write phases: serialize %.2fs, compress+crc %.2fs, io %.2fs",
+        t_ser - t0, t_comp - t_ser, time.perf_counter() - t_comp,
+    )
 
 
-def load_reference_npz(path):
+def load_reference_npz(path, skip_distances_if_cached=False):
     """Load a reference npz into {'A': {...}, 'F': {...}, 'M': {...}} + meta.
 
     Accepts files produced by either this package or the reference tool.
@@ -322,6 +331,10 @@ def load_reference_npz(path):
     Members decompress on a thread pool (zlib releases the GIL): the big
     index/distance/null tables are each hundreds of MB and dominate the
     predict cold start otherwise.
+
+    ``skip_distances_if_cached``: leave a pass's distance table unloaded
+    when its ``wcx_*`` predict caches are present (callers using the
+    default ``--maskrepeats 5``, e.g. predict-batch, never touch it).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -337,7 +350,15 @@ def load_reference_npz(path):
         suffix = "" if gender == "A" else f".{gender}"
         if f"bins_per_chr{suffix}" not in npz:
             continue
-        wanted.extend((gender, key, f"{key}{suffix}") for key in PASS_KEYS)
+        keys = list(PASS_KEYS)
+        if (
+            skip_distances_if_cached
+            and f"wcx_weights{suffix}" in npz
+            and f"wcx_distok{suffix}" in npz
+            and "wcx_cutoffs" in npz
+        ):
+            keys.remove("distances")
+        wanted.extend((gender, key, f"{key}{suffix}") for key in keys)
         wanted.extend(
             (gender, key, f"{key}{suffix}")
             for key in OPTIONAL_PASS_KEYS

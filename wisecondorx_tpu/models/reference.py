@@ -148,24 +148,23 @@ def build_reference(
 
     with stage_timer("newref.mask"):
         matrix, layout = samples_to_matrix(samples)
-        matrix = matrix.astype(cfg.dtype)
-        # One depth normalization serves the total mask and both
-        # per-gender sub-masks (column subsets of a per-column
-        # normalization are identical to normalizing the subsets).
-        normed = mask_ops.depth_normalize(matrix)
+        matrix = matrix.astype(cfg.dtype, copy=False)
+        # All masks (total + per-gender sub-masks) in one chunked pass —
+        # column subsets of a per-column depth normalization equal
+        # normalizing the subsets, and row-blocking leaves every sum
+        # bit-identical (mask_ops.get_masks).
+        genders_arr = np.array(genders, dtype=object)
+        subsets = [None]
+        if genders.count("F") > 4:
+            subsets.append(genders_arr == "F")
+        if genders.count("M") > 4 and not nipt:
+            subsets.append(genders_arr == "M")
+        masks = mask_ops.get_masks(matrix, subsets)
         # np.array (not asarray): jax buffers are read-only and this mask is
         # mutated in place by the PCA-distance filter.
-        total_mask = np.array(mask_ops.mask_from_normed(normed))
-        genders_arr = np.array(genders, dtype=object)
-        if genders.count("F") > 4:
-            total_mask &= np.asarray(
-                mask_ops.mask_from_normed(normed[:, genders_arr == "F"])
-            )
-        if genders.count("M") > 4 and not nipt:
-            total_mask &= np.asarray(
-                mask_ops.mask_from_normed(normed[:, genders_arr == "M"])
-            )
-        del normed
+        total_mask = np.array(masks[0])
+        for m in masks[1:]:
+            total_mask &= np.asarray(m)
 
     passes = {}
     plan = [("A", np.ones(len(genders), dtype=bool))]

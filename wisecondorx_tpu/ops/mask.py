@@ -34,9 +34,35 @@ def mask_from_normed(normed: np.ndarray) -> np.ndarray:
     reuse one normalization instead of re-dividing the ~1 GB matrix
     (reference newref_tools.py:92-100 recomputes it per call).
     """
-    sum_per_bin = np.asarray(normed).sum(axis=1)
+    return _threshold(np.asarray(normed).sum(axis=1))
+
+
+def _threshold(sum_per_bin: np.ndarray) -> np.ndarray:
     median_cov = np.median(sum_per_bin[sum_per_bin > 0])
     return sum_per_bin > (0.05 * median_cov)
+
+
+def get_masks(matrix: np.ndarray, col_subsets, block: int = 32768):
+    """Usability masks for the full cohort and per-gender column subsets
+    in ONE chunked pass — bit-identical to calling :func:`get_mask` on
+    ``matrix`` / ``matrix[:, cols]`` (elementwise division and the
+    per-row pairwise sums are unchanged by row blocking), with ~130 MB
+    peak temporaries instead of several full-matrix copies.
+
+    ``col_subsets``: list of boolean column selectors (None = all).
+    Returns one bool[total_bins] mask per subset.
+    """
+    matrix = np.asarray(matrix)
+    totals = matrix.sum(axis=0)
+    sums = [
+        np.empty(matrix.shape[0], dtype=np.float64) for _ in col_subsets
+    ]
+    for a in range(0, matrix.shape[0], block):
+        chunk = matrix[a : a + block] / totals
+        for out, cols in zip(sums, col_subsets):
+            sel = chunk if cols is None else chunk[:, cols]
+            out[a : a + block] = sel.sum(axis=1)
+    return [_threshold(s) for s in sums]
 
 
 def depth_normalize(matrix):
