@@ -347,6 +347,8 @@ std::vector<int> nx16_alphabet(Cursor& c) {
   int sym = c.byte();
   int last = sym;
   do {
+    if (sym > 255)  // malformed RLE run walking past the byte alphabet
+      throw CramError("rANS-Nx16 alphabet symbol out of range");
     A.push_back(sym);
     if (rle) {
       rle--;

@@ -287,3 +287,26 @@ def test_cram31_unsupported_codec_errors_precisely(tmp_path):
     open(cram_path, "wb").write(raw)
     with pytest.raises(Exception, match="arithmetic"):
         convert_reads(cram_path, BINSIZE)
+
+
+def test_rans_nx16_malformed_alphabet_rejected():
+    """A crafted alphabet whose RLE run walks past symbol 255 must fail
+    cleanly (order-0 and order-1 frequency builders previously wrote out
+    of bounds on such input)."""
+    import struct
+
+    # flags=0 (order-0, 4-way), uint7 len=16, alphabet [254, 255(run)... ]
+    # with run byte 100 -> symbols up to 355.
+    stream = bytes([0x00, 16, 254, 255, 100, 0]) + bytes(64)
+    out = bytearray(16)
+    import ctypes
+
+    from wisecondorx_tpu.io.bam import _load_library
+
+    lib = _load_library()
+    lib.wcx_rans_nx16_test.restype = ctypes.c_int
+    rc = lib.wcx_rans_nx16_test(
+        bytes(stream), len(stream),
+        (ctypes.c_uint8 * 16).from_buffer(out), 16,
+    )
+    assert rc == -1  # clean error, no crash

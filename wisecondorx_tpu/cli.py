@@ -122,10 +122,14 @@ def tool_newref(args):
         trained_cutoff=meta["trained_cutoff"],
     )
     with stage_timer("newref.write"):
-        from wisecondorx_tpu.io.npz import _savez_fast
+        from wisecondorx_tpu.io.npz import _savez_fast, verify_reference_npz
 
         _savez_fast(outfile, final)
         logging.info("Reference written to %s", outfile)
+    with stage_timer("newref.verify"):
+        # CRC + member-set check of the file the user will actually load
+        # — the in-memory QC below never re-reads it.
+        verify_reference_npz(outfile, expected_keys=final.keys())
     logging.info("Running QC on the newly created reference...")
     with stage_timer("newref.qc"):
         # Scored from the in-memory arrays — same flat mapping the file
@@ -290,6 +294,7 @@ def tool_test_batch(args):
 
     loaded = []
     outids = []
+    infiles_loaded = []
     failed = []
     for infile in infiles:
         try:
@@ -304,6 +309,7 @@ def tool_test_batch(args):
             logging.error("Skipping unreadable sample %s: %s", infile, e)
             failed.append(infile)
             continue
+        infiles_loaded.append(infile)
         loaded.append((sample, binsize))
         base = os.path.basename(infile)
         outids.append(
@@ -334,9 +340,9 @@ def tool_test_batch(args):
         sys.exit(1)
 
     good = []
-    for outid, bins in zip(outids, all_bins):
+    for infile, outid, bins in zip(infiles_loaded, outids, all_bins):
         if bins is None:
-            failed.append(outid)
+            failed.append(infile)
         else:
             good.append((outid, bins))
 
@@ -361,10 +367,12 @@ def tool_test_batch(args):
         logging.info("Wrote %s", outid)
     logging.info("Finished batch prediction")
     if failed:
+        # Denominator = this process's shard (under multi-host sharding
+        # each process accounts for its own slice of the plate).
         logging.error(
-            "%d of %d samples failed and were skipped (see errors above): "
-            "%s",
-            len(failed), len(args.infiles), ", ".join(failed),
+            "%d of %d samples in this process's shard failed and were "
+            "skipped (see errors above): %s",
+            len(failed), len(infiles), ", ".join(failed),
         )
         sys.exit(3)
 

@@ -232,7 +232,7 @@ def _savez_fast(path, arrays: dict) -> None:
         if mode == "always":
             return True
         if mode == "never":
-            return len(raw) < (1 << 20)  # small members always deflate
+            return False  # fully STORED, seekable archive
         if len(raw) < (1 << 22):
             return True
         if len(raw) >= (64 << 20):
@@ -422,6 +422,35 @@ def load_reference_small(path):
             if f"{key}{suffix}" in npz:
                 passes[gender][key] = npz[f"{key}{suffix}"]
     return passes, meta
+
+
+def verify_reference_npz(path, expected_keys=None) -> None:
+    """Structural verification of a just-written reference npz: the zip
+    central directory parses, every member's stored CRC matches its
+    payload, and (optionally) the member set covers ``expected_keys``.
+
+    Restores the round-trip guarantee the in-memory QC path gave up: a
+    short write, a disk error, or a writer bug fails HERE with a clear
+    message instead of at the next predict.  Raises OSError/ValueError on
+    any mismatch.
+    """
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        bad = zf.testzip()  # reads + CRC-checks every member
+        if bad is not None:
+            raise ValueError(
+                f"reference npz verification failed: member {bad!r} is "
+                "corrupt (CRC mismatch)"
+            )
+        if expected_keys is not None:
+            names = {n[:-4] for n in zf.namelist() if n.endswith(".npy")}
+            missing = set(expected_keys) - names
+            if missing:
+                raise ValueError(
+                    "reference npz verification failed: missing members "
+                    f"{sorted(missing)}"
+                )
 
 
 def load_member_rows(path, key, row_start: int):

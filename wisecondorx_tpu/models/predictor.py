@@ -119,16 +119,23 @@ def prepare_sample(sample, sample_binsize, ref_passes, ref_meta, cfg):
 
     Returns (sample, gender, ref_gender, n_reads).
     """
-    missing = [str(c) for c in range(1, 25) if str(c) not in sample]
+    # convert emits None entries for contigs absent from the aligner
+    # header (io/bam.py), so "present but None" is as missing as absent.
+    missing = [
+        str(c)
+        for c in range(1, 25)
+        if sample.get(str(c)) is None
+    ]
     if missing:
         # The reference KeyErrors deep inside normalization on such input
         # (predict_tools.py:40); failing here keeps the error attributable
         # and lets predict-batch skip the sample instead of the plate.
         raise PredictError(
             f"Sample is missing chromosome(s) {', '.join(missing)} — "
-            "not a convert-stage npz?"
+            "not a convert-stage npz, or aligned to an incomplete "
+            "reference?"
         )
-    n_reads = int(np.sum([np.sum(v) for v in sample.values()]))
+    n_reads = int(np.sum([np.sum(v) for v in sample.values() if v is not None]))
     ref_binsize = int(np.atleast_1d(ref_passes["A"]["binsize"])[0])
     sample = scale_sample(sample, sample_binsize, ref_binsize)
 

@@ -112,9 +112,18 @@ def sentinel_indexes(
 ) -> np.ndarray:
     """Fold the ``distance < cutoff`` neighbour filter into the index
     table: excluded neighbours become ``-1``.  The result is the ONLY
-    bulk array the normalization kernel needs on device."""
+    bulk array the normalization kernel needs on device.
+
+    The comparison runs in float64 regardless of the stored distance
+    dtype — matching the native kernel (tablekit.cpp casts each f32 to
+    double) and the wcx_distok cache; comparing an f32 table against the
+    f64 cutoff at f32 precision (numpy's scalar-cast default) can flip
+    boundary neighbours between hosts with and without the native
+    library."""
     return np.where(
-        np.asarray(distances) < optimal_cutoff, global_idx, -1
+        np.asarray(distances, dtype=np.float64) < optimal_cutoff,
+        global_idx,
+        -1,
     ).astype(np.int32)
 
 
