@@ -519,7 +519,8 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 )
 
         def search(rr):
-            return knn_ops.knn_search(
+            stats: dict = {}
+            out = knn_ops.knn_search(
                 corrected,
                 ml.chr_of_masked_bin,
                 ml.masked_chr_starts,
@@ -532,7 +533,23 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
                 row_pad=pads.get("row_pad"),
                 device_out=dev_out,
                 pre_fetch_hook=pre_fetch_hook,
+                stats=stats,
             )
+            for key in ("dispatch_s", "flags_s", "rerun_s", "fetch_s"):
+                if key in stats:
+                    # [timing]-format so the bench's stage-breakdown
+                    # parser picks the internals up from the subprocess
+                    # stderr (only the tail is echoed verbatim).
+                    logging.info(
+                        "[timing] newref.pass_%s.knn.%s: %.3fs",
+                        gender, key[:-2], stats[key],
+                    )
+            if "flagged_rows" in stats and stats["flagged_rows"]:
+                logging.info(
+                    "KNN pass %s: %d drop-certificate rows rerun exactly",
+                    gender, stats["flagged_rows"],
+                )
+            return out
 
     if ckpt.enabled:
         # Row-chunked search with one artifact per chunk: a killed build

@@ -153,6 +153,7 @@ def knn_search(
     row_pad: int | None = None,
     device_out: dict | None = None,
     pre_fetch_hook=None,
+    stats: dict | None = None,
 ):
     """Exact per-bin K nearest neighbours over other-chromosome bins.
 
@@ -195,6 +196,7 @@ def knn_search(
             row_pad=row_pad,
             _device_out=device_out,
             _pre_fetch_hook=pre_fetch_hook,
+            _stats=stats,
         )
     n = data.shape[0]
     r0, r1 = row_range if row_range is not None else (0, n)
