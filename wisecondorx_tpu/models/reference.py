@@ -288,6 +288,20 @@ def build_reference(
     )
     cache_futs = {}
 
+    # Pass pipelining: only the PREP phase (normalize -> PCA ->
+    # PCA-distance filter) is serial across passes — the filter mutates
+    # the shared mask the next pass reads.  The SEARCH phase (KNN +
+    # null ratios + the big result fetch) only reads the pass's own
+    # snapshot, so pass F's prep/search overlap pass A's fetch on worker
+    # threads.  Disabled under multi-process builds (the cross-process
+    # KNN all-gather must run in a fixed order) and under checkpointing
+    # (row-chunked artifacts want deterministic sequencing).
+    pipelined = jax.process_count() == 1 and not ckpt.enabled
+    search_pool = ThreadPoolExecutor(
+        max_workers=3, thread_name_prefix="wcx-pass-search"
+    )
+    search_futs: dict = {}
+
     for gender, cols in plan:
         saved = ckpt.load(f"pass_{gender}")
         if saved is not None:
@@ -303,6 +317,14 @@ def build_reference(
                 if k in saved
             }
             passes[gender]["binsize"] = int(saved["binsize"])
+        elif pipelined:
+            with stage_timer(f"newref.pass_{gender}.prep"):
+                run_search = _build_pass(
+                    gender, matrix[:, cols], layout, total_mask, cfg,
+                    _null_chooser, ckpt=ckpt, pads=pads.get(gender),
+                    cohort_dev=cohort_dev, cols=cols, defer_search=True,
+                )
+            search_futs[gender] = search_pool.submit(run_search)
         else:
             with stage_timer(f"newref.pass_{gender}"):
                 passes[gender] = _build_pass(
@@ -315,10 +337,18 @@ def build_reference(
                 total_mask_after=total_mask[: _truncated_len(layout, gender)],
                 **passes[gender],
             )
-        if "wcx_weights" not in passes[gender]:
+        if gender in passes and "wcx_weights" not in passes[gender]:
             cache_futs[gender] = cache_pool.submit(
                 _predict_cache, gender, passes[gender]["distances"]
             )
+
+    for gender, fut in search_futs.items():
+        with stage_timer(f"newref.pass_{gender}.search"):
+            passes[gender] = fut.result()
+        cache_futs[gender] = cache_pool.submit(
+            _predict_cache, gender, passes[gender]["distances"]
+        )
+    search_pool.shutdown()
 
     with stage_timer("newref.predict_cache"):
         for gender, fut in cache_futs.items():
@@ -367,7 +397,8 @@ def _round_up_pad(x: int, m: int) -> int:
 
 
 def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
-                ckpt=None, pads=None, cohort_dev=None, cols=None):
+                ckpt=None, pads=None, cohort_dev=None, cols=None,
+                defer_search=False):
     """One reference pass (reference newref_control.py:24-80 + KNN stage).
 
     ``total_mask`` is mutated in place by the PCA-distance filter — the
@@ -376,6 +407,11 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
     ``cohort_dev``: the build's single device-resident [total_bins, S]
     float32 cohort; the pass's row-prefix/column subset is sliced on
     device instead of re-uploading.
+
+    ``defer_search``: return after the prep phase (which holds the
+    serial mask-mutation dependency between passes) with a zero-argument
+    callable running the search phase — the pass-pipelining hook (the
+    search only reads this pass's own snapshot).
     """
     if ckpt is None:
         ckpt = NewrefCheckpoint(None)
@@ -458,6 +494,24 @@ def _build_pass(gender, matrix, layout, total_mask, cfg, null_chooser,
             )
 
     ml = MaskedLayout(tl, pass_mask.copy())
+    if defer_search:
+        return lambda: _search_pass(
+            gender, corrected, components, mean, ml, cfg, null_chooser,
+            ckpt, pads, on_device,
+        )
+    return _search_pass(
+        gender, corrected, components, mean, ml, cfg, null_chooser, ckpt,
+        pads, on_device,
+    )
+
+
+def _search_pass(gender, corrected, components, mean, ml, cfg,
+                 null_chooser, ckpt, pads, on_device):
+    """Search phase of one pass: KNN + null ratios + result assembly.
+
+    Reads only this pass's own snapshot (``ml`` holds a mask COPY), so
+    concurrent searches across passes are safe in a single process."""
+    tl = ml.layout
     n_masked = ml.n_masked
 
     if gender == "A":
