@@ -64,3 +64,34 @@ def test_sample_npz_roundtrip(tmp_path, sim):
     assert quality == {"mapped": 123}
     for k in sample:
         np.testing.assert_array_equal(loaded[k], sample[k])
+
+
+def test_savez_fast_compress_modes(tmp_path, monkeypatch):
+    """WCX_NPZ_COMPRESS=always|never|auto all produce standard npz files
+    that round-trip exactly; 'never' stores every member (seekable)."""
+    import zipfile
+
+    import numpy as np
+
+    from wisecondorx_tpu.io.npz import _savez_fast
+
+    rng = np.random.default_rng(3)
+    arrays = {
+        "big_random": rng.random((3000, 300)),       # poorly compressible
+        "zeros": np.zeros(200000),                   # highly compressible
+        "ints": rng.integers(0, 50, 100000),
+        "scalar": 42,
+    }
+    for mode in ("auto", "always", "never"):
+        monkeypatch.setenv("WCX_NPZ_COMPRESS", mode)
+        path = str(tmp_path / f"m_{mode}.npz")
+        _savez_fast(path, arrays)
+        back = np.load(path, allow_pickle=True)
+        for k, v in arrays.items():
+            np.testing.assert_array_equal(back[k], np.asarray(v))
+        with zipfile.ZipFile(path) as zf:
+            methods = {i.filename: i.compress_type for i in zf.infolist()}
+        if mode == "never":
+            assert set(methods.values()) == {0}, methods
+        if mode == "always":
+            assert set(methods.values()) == {8}, methods
