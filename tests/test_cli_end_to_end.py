@@ -260,3 +260,18 @@ def test_cli_malformed_bed_inputs_exit_cleanly(workdir, caplog):
         r.levelname == "CRITICAL" and "bad_regions.bed:1" in str(r.message)
         for r in caplog.records
     )
+
+
+def test_cli_newref_plotyfrac(workdir, tmp_path):
+    """--plotyfrac writes the GMM-fit image and exits before building
+    (reference newref_tools.py:42-52)."""
+    tmp, infiles, test_path = workdir
+    out_png = str(tmp_path / "yfrac.png")
+    with pytest.raises(SystemExit) as exc:
+        cli_main(
+            ["newref", *infiles, str(tmp_path / "nope.npz"),
+             "--plotyfrac", out_png]
+        )
+    assert exc.value.code == 0
+    assert os.path.exists(out_png) and os.path.getsize(out_png) > 0
+    assert not os.path.exists(str(tmp_path / "nope.npz"))

@@ -113,3 +113,25 @@ def test_loader_uncached_reference_still_works(built_reference, tmp_path):
         np.testing.assert_array_equal(
             cached.results_z[c], computed.results_z[c]
         )
+
+
+def test_loader_nondefault_maskrepeats(built_reference):
+    """--maskrepeats != 5 invalidates the bit-packed distok cache (it
+    was built at depth 5): the loader must fall back to the distance
+    table, use the cached cutoff SCHEDULE at the requested depth, and
+    produce results identical to the fully computed path."""
+    path, passes, meta, test_sample = built_reference
+    cfg = PredictConfig(minrefbins=10, maskrepeats=3, seed=7)
+    ref_passes, ref_meta = load_reference_npz(path)
+    want = predict_bins(test_sample, 100000, ref_passes, ref_meta, cfg)
+    loader = ReferenceLoader(path)
+    got = predict_bins(
+        test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
+    )
+    for c in range(len(want.results_r)):
+        np.testing.assert_array_equal(got.results_r[c], want.results_r[c])
+        np.testing.assert_array_equal(got.results_z[c], want.results_z[c])
+    # And the cached schedule at depth 3 equals the direct computation.
+    assert loader.cutoff() == norm_ops.get_optimal_cutoff(
+        np.asarray(passes["A"]["distances"]), 3
+    )
