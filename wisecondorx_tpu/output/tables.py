@@ -38,22 +38,32 @@ def generate_output_tables(outid, bins, segments, cfg, regions=None):
 
 
 def _generate_bins_bed(outid, bins):
-    """reference predict_output.py:59-84."""
+    """reference predict_output.py:59-84.
+
+    Byte-identical to the reference's per-row loop (``repr`` of a Python
+    float equals numpy's scalar ``str`` — both shortest-round-trip), but
+    batched per chromosome: at 15 kb a plate pays ~0.5 s per sample in
+    row formatting otherwise."""
     binsize = bins.binsize
     with open(f"{outid}_bins.bed", "w") as f:
         f.write("chr\tstart\tend\tid\tratio\tzscore\n")
         for c in range(len(bins.results_r)):
             chr_name = _chr_name(c)
+            rs = np.asarray(bins.results_r[c]).tolist()
+            zs = np.asarray(bins.results_z[c]).tolist()
+            lines = []
             feat = 1
-            for i in range(len(bins.results_r[c])):
-                r = bins.results_r[c][i]
-                z = bins.results_z[c][i]
-                r = "nan" if r == 0 else r
-                z = "nan" if z == 0 else z
-                feat_str = f"{chr_name}:{feat}-{feat + binsize - 1}"
-                row = [chr_name, feat, feat + binsize - 1, feat_str, r, z]
-                f.write("\t".join(str(x) for x in row) + "\n")
+            for r, z in zip(rs, zs):
+                e = feat + binsize - 1
+                rstr = "nan" if r == 0 else repr(r)
+                zstr = "nan" if z == 0 else repr(z)
+                lines.append(
+                    f"{chr_name}\t{feat}\t{e}\t{chr_name}:{feat}-{e}\t"
+                    f"{rstr}\t{zstr}"
+                )
                 feat += binsize
+            if lines:
+                f.write("\n".join(lines) + "\n")
 
 
 def _aberration_cutoffs(beta, ploidy):
