@@ -248,7 +248,6 @@ def tool_test_batch(args):
     )
     from wisecondorx_tpu.utils.device import warm_readback_channel
 
-    warm_readback_channel()  # overlap channel init with input parsing
     if not args.bed and not args.plot:
         logging.critical(
             "No output format selected. "
@@ -275,8 +274,16 @@ def tool_test_batch(args):
 
     os.makedirs(args.outdir, exist_ok=True)
     # Multi-host: each process scores its own shard of the plate (pure
-    # data parallelism over DCN — no cross-host traffic).
+    # data parallelism over DCN — no cross-host traffic).  Distributed
+    # init MUST precede anything that initializes the jax backend —
+    # including the warm-up threads and the readback-channel probe.
     pidx, pcount = maybe_initialize_distributed()
+    warm_readback_channel()  # overlap channel init with input parsing
+    # Compile the batched normalization kernels + CBS buckets while the
+    # reference npz and the plate's sample npzs load.
+    from wisecondorx_tpu.utils.warmup import start_predict_batch_warmup
+
+    start_predict_batch_warmup(args.reference, args.chunk)
     infiles = shard_files(args.infiles, pidx, pcount)
     if pcount > 1:
         logging.info(

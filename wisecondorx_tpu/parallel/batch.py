@@ -85,7 +85,19 @@ def _run_pass_batched(
     out = []
     for s0 in range(0, len(samples), chunk):
         block = test_mat[s0 : s0 + chunk]
-        pad = -len(block) % n_dev
+        # Single device: pad every block to the full chunk — one
+        # compiled program shape per (chunk, ct) instead of a fresh
+        # multi-second compile for each partial tail/group size (padded
+        # rows' outputs are discarded via n_real).  Under a mesh, pad
+        # only to a device multiple: XLA's per-device lane vectorization
+        # makes row results depend on the per-device row count at the
+        # last ulp, and the multi-host byte-equality contract (sharded
+        # == solo outputs) requires identical per-device shapes.
+        pad = (
+            chunk - len(block)
+            if mesh is None
+            else -len(block) % n_dev
+        )
         if pad:
             block = np.concatenate([block, block[-1:].repeat(pad, axis=0)])
         tm = jnp.asarray(block)

@@ -227,6 +227,66 @@ def start_predict_warmup(ref_path, cfg=None):
     return done
 
 
+def start_predict_batch_warmup(ref_path, chunk: int, cfg=None):
+    """Compile the predict-batch hot-path programs (the vmapped
+    normalization kernel for every pass at the fixed chunk shape, plus
+    the CBS size buckets) while the reference npz and the plate's sample
+    npzs load.  predict-batch previously compiled everything on demand —
+    ~30-40 s of its wall.  Returns an Event; no-op off-TPU.
+    """
+    import jax
+
+    done = threading.Event()
+    if jax.default_backend() != "tpu":
+        done.set()
+        return done
+
+    global _predict_warm_started
+    _predict_warm_started = True
+
+    def run():
+        t0 = time.perf_counter()
+        try:
+            import jax.numpy as jnp
+
+            from wisecondorx_tpu.io.npz import reference_npz_headers
+            from wisecondorx_tpu.parallel.batch import _batched_kernel
+
+            headers = reference_npz_headers(ref_path)
+            max_chr_bins = max(
+                int(np.max(h["bins_per_chr"])) for h in headers.values()
+            )
+            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
+            # _run_pass_batched raises the chunk to the local device
+            # count; mirror that so the warmed shape is the used one.
+            chunk_eff = max(chunk, len(jax.local_devices()))
+            for gender, h in headers.items():
+                n = int(h["mask"].sum())
+                k = int(h["indexes_shape"][1])
+                ct = (
+                    0 if gender == "A"
+                    else int(h["masked_bins_per_chr_cum"][21])
+                )
+                tm = jnp.asarray(np.zeros((chunk_eff, n)))
+                comps = jnp.asarray(np.zeros((5, n)))
+                mean = jnp.asarray(np.zeros(n))
+                gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
+                _batched_kernel(tm, comps, mean, gi, ct=ct)
+            logging.info(
+                "predict-batch warm-up done in %.1fs (%d passes)",
+                time.perf_counter() - t0, len(headers),
+            )
+        except Exception as e:  # best-effort
+            logging.warning("predict-batch warm-up failed: %s", e)
+        finally:
+            done.set()
+
+    threading.Thread(
+        target=run, name="wcx-batch-warmup", daemon=True
+    ).start()
+    return done
+
+
 def _to_cbs_cfg(cfg):
     """Accept either a CBSConfig or a PredictConfig-ish object."""
     from wisecondorx_tpu.ops.cbs import CBSConfig
