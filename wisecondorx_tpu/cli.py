@@ -44,10 +44,18 @@ def tool_newref(args):
         NewrefError,
         build_reference,
     )
+    from wisecondorx_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+    )
     from wisecondorx_tpu.ref_qc import qc_reference_arrays
     from wisecondorx_tpu.utils.device import warm_readback_channel
     from wisecondorx_tpu.utils.log import stage_timer
 
+    # Distributed init must precede anything touching the jax backend
+    # (the readback-probe thread below would otherwise race it); a
+    # coordinator-configured multi-host newref then row-shards its KNN
+    # across processes instead of silently degrading to one.
+    maybe_initialize_distributed()
     # First d2h readback of a process costs 50-900 s on the tunneled TPU;
     # initialize the channel on a thread while the input npzs parse.
     warm_readback_channel()
