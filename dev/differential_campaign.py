@@ -157,7 +157,8 @@ def cohort_sweep(n_cohorts):
         )
 
         # 4) predict: loader vs in-memory vs batch.
-        path = os.path.join(tempfile.mkdtemp(), "ref.npz")
+        ref_dir = tempfile.TemporaryDirectory()
+        path = os.path.join(ref_dir.name, "ref.npz")
         io_npz.save_reference_npz(
             path, passes_p, is_nipt=meta["is_nipt"],
             trained_cutoff=meta["trained_cutoff"],
@@ -197,6 +198,7 @@ def cohort_sweep(n_cohorts):
             for c in range(len(mem.results_r))
         )
         check(f"batch~=solo predict {trial}", close)
+        ref_dir.cleanup()
 
 
 if __name__ == "__main__":

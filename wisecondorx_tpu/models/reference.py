@@ -297,9 +297,6 @@ def build_reference(
     # KNN all-gather must run in a fixed order) and under checkpointing
     # (row-chunked artifacts want deterministic sequencing).
     pipelined = jax.process_count() == 1 and not ckpt.enabled
-    search_pool = ThreadPoolExecutor(
-        max_workers=3, thread_name_prefix="wcx-pass-search"
-    )
     search_futs: dict = {}
 
     for gender, cols in plan:
@@ -324,7 +321,13 @@ def build_reference(
                     _null_chooser, ckpt=ckpt, pads=pads.get(gender),
                     cohort_dev=cohort_dev, cols=cols, defer_search=True,
                 )
-            search_futs[gender] = search_pool.submit(run_search)
+            # Daemon threads (not an executor): if a later prep or a
+            # sibling search raises, the process must be able to exit
+            # with its error instead of joining orphaned multi-minute
+            # KNN searches at interpreter shutdown.
+            search_futs[gender] = _DaemonFuture(
+                run_search, name=f"wcx-search-{gender}"
+            )
         else:
             with stage_timer(f"newref.pass_{gender}"):
                 passes[gender] = _build_pass(
@@ -348,7 +351,6 @@ def build_reference(
         cache_futs[gender] = cache_pool.submit(
             _predict_cache, gender, passes[gender]["distances"]
         )
-    search_pool.shutdown()
 
     with stage_timer("newref.predict_cache"):
         for gender, fut in cache_futs.items():
@@ -386,6 +388,36 @@ _PASS_KEYS = (
 
 #: Predict-side caches (extra members the reference tool ignores).
 _OPTIONAL_PASS_KEYS = ("wcx_weights", "wcx_cutoffs", "wcx_distok")
+
+
+class _DaemonFuture:
+    """Run ``fn`` on a daemon thread; ``result()`` re-raises its error.
+
+    Unlike ThreadPoolExecutor (whose workers are non-daemon and joined
+    at interpreter exit), an abandoned search dies with the process."""
+
+    def __init__(self, fn, name):
+        import threading
+
+        self._done = threading.Event()
+        self._out = None
+        self._exc = None
+
+        def run():
+            try:
+                self._out = fn()
+            except BaseException as e:  # re-raised in result()
+                self._exc = e
+            finally:
+                self._done.set()
+
+        threading.Thread(target=run, name=name, daemon=True).start()
+
+    def result(self):
+        self._done.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._out
 
 
 def _truncated_len(layout, gender):

@@ -45,18 +45,31 @@ def _generate_bins_bed(outid, bins):
     batched per chromosome: at 15 kb a plate pays ~0.5 s per sample in
     row formatting otherwise."""
     binsize = bins.binsize
+
+    def cells(arr):
+        # float64 values format fastest as Python floats (repr == the
+        # old str(numpy scalar), shortest round-trip).  Other dtypes
+        # (f32 on the TPU path) keep their numpy scalars + str() so the
+        # printed text stays the shortest representation OF THAT dtype —
+        # .tolist() would widen f32 to double and print 17-digit
+        # strings.
+        arr = np.asarray(arr)
+        if arr.dtype == np.float64:
+            return arr.tolist(), repr
+        return list(arr), str
+
     with open(f"{outid}_bins.bed", "w") as f:
         f.write("chr\tstart\tend\tid\tratio\tzscore\n")
         for c in range(len(bins.results_r)):
             chr_name = _chr_name(c)
-            rs = np.asarray(bins.results_r[c]).tolist()
-            zs = np.asarray(bins.results_z[c]).tolist()
+            rs, rfmt = cells(bins.results_r[c])
+            zs, zfmt = cells(bins.results_z[c])
             lines = []
             feat = 1
             for r, z in zip(rs, zs):
                 e = feat + binsize - 1
-                rstr = "nan" if r == 0 else repr(r)
-                zstr = "nan" if z == 0 else repr(z)
+                rstr = "nan" if r == 0 else rfmt(r)
+                zstr = "nan" if z == 0 else zfmt(z)
                 lines.append(
                     f"{chr_name}\t{feat}\t{e}\t{chr_name}:{feat}-{e}\t"
                     f"{rstr}\t{zstr}"

@@ -30,7 +30,14 @@ def setup_logging(loglevel: str = "INFO") -> None:
     )
 
 
+import threading
+
 _STAGE_TIMES: dict[str, float] = {}
+_TIMES_LOCK = threading.Lock()
+#: Only one jax.profiler.trace may be active per process; pipelined
+#: stages run concurrently on threads, so a stage that cannot take the
+#: lock simply skips its device trace (the wall-clock is still recorded).
+_TRACE_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -40,20 +47,26 @@ def stage_timer(name: str):
     profile_dir = os.environ.get("WCX_PROFILE_DIR")
     trace_cm = contextlib.nullcontext()
     annot_cm = contextlib.nullcontext()
+    got_trace = False
     if profile_dir:
         import jax.profiler
 
-        trace_cm = jax.profiler.trace(
-            os.path.join(profile_dir, name.replace("/", "_"))
-        )
+        got_trace = _TRACE_LOCK.acquire(blocking=False)
+        if got_trace:
+            trace_cm = jax.profiler.trace(
+                os.path.join(profile_dir, name.replace("/", "_"))
+            )
         annot_cm = jax.profiler.TraceAnnotation(name)
     start = time.perf_counter()
     try:
         with trace_cm, annot_cm:
             yield
     finally:
+        if got_trace:
+            _TRACE_LOCK.release()
         elapsed = time.perf_counter() - start
-        _STAGE_TIMES[name] = _STAGE_TIMES.get(name, 0.0) + elapsed
+        with _TIMES_LOCK:
+            _STAGE_TIMES[name] = _STAGE_TIMES.get(name, 0.0) + elapsed
         logging.info("[timing] %s: %.3fs", name, elapsed)
 
 

@@ -117,6 +117,17 @@ def warm_newref_pass(
         )
 
 
+def _header_shape(h: dict, gender: str):
+    """(n_masked, k, ct) for one pass from its npz member headers — the
+    same ct convention as models/ref_loader.pass_ct (which this reuses:
+    the header dict carries masked_bins_per_chr_cum)."""
+    from wisecondorx_tpu.models.ref_loader import pass_ct
+
+    n = int(h["mask"].sum())
+    k = int(h["indexes_shape"][1])
+    return n, k, pass_ct(h, gender)
+
+
 #: Resolved gonosomal pass for the current predict, set by the predictor
 #: the moment prepare_sample decides it — lets the warm-up thread skip
 #: compiling the pass that will not run (a third of the normalize warm).
@@ -166,12 +177,7 @@ def start_predict_warmup(ref_path, cfg=None):
         from wisecondorx_tpu.ops.normalize import _normalize_repeat_kernel
         from wisecondorx_tpu.ops.pca import project_sample
 
-        n = int(h["mask"].sum())
-        k = int(h["indexes_shape"][1])
-        ct = (
-            0 if gender == "A"
-            else int(h["masked_bins_per_chr_cum"][21])
-        )
+        n, k, ct = _header_shape(h, gender)
         # Mirror production dtypes exactly: f64 host arrays downcast on
         # transfer under the default x64-off setting.
         test = jnp.asarray(np.zeros(n))
@@ -240,6 +246,32 @@ def start_predict_batch_warmup(ref_path, chunk: int, cfg=None):
     if jax.default_backend() != "tpu":
         done.set()
         return done
+    if len(jax.local_devices()) > 1:
+        # Under a mesh, _run_pass_batched commits inputs with
+        # NamedShardings; a plain default-device warm compile would be a
+        # jit-cache MISS for the production call (sharding is part of
+        # the executable key) — wasted work.  Warm CBS only.
+        def run_cbs_only():
+            try:
+                from wisecondorx_tpu.io.npz import reference_npz_headers
+
+                headers = reference_npz_headers(ref_path)
+                start_cbs_warmup(
+                    max(
+                        int(np.max(h["bins_per_chr"]))
+                        for h in headers.values()
+                    ),
+                    _to_cbs_cfg(cfg),
+                )
+            except Exception as e:  # best-effort
+                logging.warning("predict-batch warm-up failed: %s", e)
+            finally:
+                done.set()
+
+        threading.Thread(
+            target=run_cbs_only, name="wcx-batch-warmup", daemon=True
+        ).start()
+        return done
 
     global _predict_warm_started
     _predict_warm_started = True
@@ -257,17 +289,9 @@ def start_predict_batch_warmup(ref_path, chunk: int, cfg=None):
                 int(np.max(h["bins_per_chr"])) for h in headers.values()
             )
             start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
-            # _run_pass_batched raises the chunk to the local device
-            # count; mirror that so the warmed shape is the used one.
-            chunk_eff = max(chunk, len(jax.local_devices()))
             for gender, h in headers.items():
-                n = int(h["mask"].sum())
-                k = int(h["indexes_shape"][1])
-                ct = (
-                    0 if gender == "A"
-                    else int(h["masked_bins_per_chr_cum"][21])
-                )
-                tm = jnp.asarray(np.zeros((chunk_eff, n)))
+                n, k, ct = _header_shape(h, gender)
+                tm = jnp.asarray(np.zeros((chunk, n)))
                 comps = jnp.asarray(np.zeros((5, n)))
                 mean = jnp.asarray(np.zeros(n))
                 gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
