@@ -16,7 +16,6 @@ import numpy as np
 from wisecondorx_tpu.io.npz import (
     load_reference_npz,
     load_sample_npz,
-    save_reference_npz,
     save_sample_npz,
 )
 from wisecondorx_tpu.utils.log import setup_logging

@@ -256,8 +256,6 @@ def build_reference(
         # Warm the per-pass column-gather program shapes on a thread —
         # the F/M passes hit them long after they compile.
         def _warm_gather():
-            import threading as _t  # noqa: F401  (daemon context)
-
             try:
                 for gender_w, cols_w in plan:
                     if cols_w is None or np.all(cols_w):

@@ -17,8 +17,6 @@ trailing singular value vanishes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

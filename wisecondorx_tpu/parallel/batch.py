@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from wisecondorx_tpu.genome import GenomeLayout, MaskedLayout
 from wisecondorx_tpu.models.predictor import (
     BinResults,
     PredictConfig,
