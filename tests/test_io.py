@@ -95,3 +95,26 @@ def test_savez_fast_compress_modes(tmp_path, monkeypatch):
             assert set(methods.values()) == {0}, methods
         if mode == "always":
             assert set(methods.values()) == {8}, methods
+
+
+def test_verify_reference_npz_detects_corruption(tmp_path):
+    """A flipped byte inside a member payload fails verification with a
+    CRC error naming the member; a clean file passes."""
+    import numpy as np
+    import pytest
+
+    from wisecondorx_tpu.io.npz import _savez_fast, verify_reference_npz
+
+    path = str(tmp_path / "v.npz")
+    rng = np.random.default_rng(1)
+    _savez_fast(path, {"big": rng.random((2000, 300)), "small": np.arange(5)})
+    verify_reference_npz(path, expected_keys=["big", "small"])
+
+    with pytest.raises(ValueError, match="missing members"):
+        verify_reference_npz(path, expected_keys=["big", "small", "ghost"])
+
+    raw = bytearray(open(path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="corrupt|CRC|Bad"):
+        verify_reference_npz(path, expected_keys=["big", "small"])

@@ -158,3 +158,21 @@ def test_newref_too_few_samples(cohort):
             [(copy.deepcopy(s), 100000) for s in samples[3:12]],
             NewrefConfig(binsize=100000, refsize=10, col_tile=128),
         )
+
+
+def test_daemon_future_propagates_errors():
+    """The pipelined search wrapper re-raises worker exceptions in
+    result() and never blocks interpreter exit (daemon thread)."""
+    import pytest
+
+    from wisecondorx_tpu.models.reference import _DaemonFuture
+
+    ok = _DaemonFuture(lambda: 42, name="t-ok")
+    assert ok.result() == 42
+
+    boom = _DaemonFuture(
+        lambda: (_ for _ in ()).throw(RuntimeError("search died")),
+        name="t-bad",
+    )
+    with pytest.raises(RuntimeError, match="search died"):
+        boom.result()
