@@ -439,7 +439,9 @@ std::vector<uint8_t> nx16_entropy(Cursor& c, size_t out_sz, int order,
   }
   std::vector<int> A = nx16_alphabet(tc);
   std::vector<NxTable> tables(256);
+  std::vector<bool> in_A(256, false);
   for (int i : A) {
+    in_A[i] = true;
     NxTable& t = tables[i];
     t.shift = shift;
     int run = 0;
@@ -454,6 +456,17 @@ std::vector<uint8_t> nx16_entropy(Cursor& c, size_t out_sz, int order,
       if (fr == 0) run = tc.byte();
     }
     t.finish();
+  }
+  // A corrupt stream can decode a symbol outside the alphabet and use it
+  // as the next context; finish() every remaining table too (all-zero
+  // frequencies -> a zero-filled, correctly sized lookup) so the decode
+  // step below stays in bounds and terminates with a clean cursor error
+  // instead of reading past an empty slot2sym (found by mutation fuzz).
+  for (int i = 0; i < 256; i++) {
+    if (!in_A[i]) {
+      tables[i].shift = shift;
+      tables[i].finish();
+    }
   }
   if (!(tab_flags & 1)) c = tc;  // advance past the in-line table
 

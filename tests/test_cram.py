@@ -310,3 +310,81 @@ def test_rans_nx16_malformed_alphabet_rejected():
         (ctypes.c_uint8 * 16).from_buffer(out), 16,
     )
     assert rc == -1  # clean error, no crash
+
+
+def test_cram_reader_mutation_fuzz(tmp_path):
+    """Seeded mutation fuzz: random byte flips/truncations of a valid
+    CRAM must produce clean errors or valid counts — never a crash (a
+    native segfault would kill the test process)."""
+    rng = np.random.default_rng(1234)
+    recs = _records()
+    cram_path = str(tmp_path / "f.cram")
+    slices = []
+    for slot, pos, mapq, flag, pnext, mate in recs:
+        if not slices or slices[-1]["ref_id"] != slot:
+            slices.append({"ref_id": slot, "records": []})
+        r = {"flag": flag, "pos": pos, "mapq": mapq}
+        if mate == "detached":
+            r["pnext"] = pnext
+        elif isinstance(mate, tuple):
+            r["nf"] = mate[1]
+        slices[-1]["records"].append(r)
+    cramtools.write_cram(
+        cram_path, REFS, slices, method="rans0_16", version=(3, 1)
+    )
+    good = open(cram_path, "rb").read()
+
+    for trial in range(150):
+        raw = bytearray(good)
+        kind = trial % 3
+        if kind == 0:  # flip 1-4 bytes anywhere
+            for _ in range(int(rng.integers(1, 5))):
+                raw[int(rng.integers(0, len(raw)))] ^= int(
+                    rng.integers(1, 256)
+                )
+        elif kind == 1:  # truncate
+            raw = raw[: int(rng.integers(1, len(raw)))]
+        else:  # splice random garbage into the middle
+            at = int(rng.integers(0, len(raw)))
+            raw = (
+                raw[:at]
+                + bytes(rng.integers(0, 256, int(rng.integers(1, 64)))
+                        .astype(np.uint8))
+                + raw[at:]
+            )
+        p = str(tmp_path / "mut.cram")
+        open(p, "wb").write(bytes(raw))
+        try:
+            convert_reads(p, BINSIZE)
+        except Exception:
+            pass  # clean Python-level error is the contract
+
+
+def test_rans_nx16_decoder_mutation_fuzz():
+    """Mutated rANS-Nx16 streams must decode or fail cleanly (rc -1),
+    never read out of bounds (the decoder bounds every cursor access)."""
+    import ctypes
+
+    from wisecondorx_tpu.io.bam import _load_library
+
+    lib = _load_library()
+    lib.wcx_rans_nx16_test.restype = ctypes.c_int
+    rng = np.random.default_rng(77)
+    data = bytes(
+        np.repeat(rng.integers(0, 9, 120), rng.integers(1, 9, 120))
+        .astype(np.uint8)
+    )
+    for kwargs in (dict(order=0), dict(order=1), dict(rle=True),
+                   dict(pack=True), dict(stripe=4)):
+        stream = bytearray(cramtools.rans_nx16_compress(data, **kwargs))
+        for _ in range(80):
+            mut = bytearray(stream)
+            for _ in range(int(rng.integers(1, 4))):
+                mut[int(rng.integers(0, len(mut)))] ^= int(
+                    rng.integers(1, 256)
+                )
+            out = (ctypes.c_uint8 * len(data))()
+            rc = lib.wcx_rans_nx16_test(
+                bytes(mut), len(mut), out, len(data)
+            )
+            assert rc in (0, -1)
