@@ -107,3 +107,37 @@ def test_bad_file(tmp_path):
     path.write_bytes(b"not a bam at all")
     with pytest.raises(ConvertError):
         convert_reads(str(path), binsize=1000)
+
+
+def test_bam_reader_mutation_fuzz(tmp_path):
+    """Seeded mutation fuzz of a valid BAM through convert_reads: byte
+    flips, truncations, and garbage splices must yield clean errors or
+    valid counts — never a native crash."""
+    rng = np.random.default_rng(4321)
+    path = str(tmp_path / "f.bam")
+    write_bam(path, REFS, _records())
+    good = open(path, "rb").read()
+    for trial in range(150):
+        raw = bytearray(good)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 5))):
+                raw[int(rng.integers(0, len(raw)))] ^= int(
+                    rng.integers(1, 256)
+                )
+        elif kind == 1:
+            raw = raw[: int(rng.integers(1, len(raw)))]
+        else:
+            at = int(rng.integers(0, len(raw)))
+            raw = (
+                raw[:at]
+                + bytes(rng.integers(0, 256, int(rng.integers(1, 64)))
+                        .astype(np.uint8))
+                + raw[at:]
+            )
+        p = str(tmp_path / "mut.bam")
+        open(p, "wb").write(bytes(raw))
+        try:
+            convert_reads(p, BINSIZE)
+        except Exception:
+            pass
