@@ -312,10 +312,14 @@ def test_rans_nx16_malformed_alphabet_rejected():
     assert rc == -1  # clean error, no crash
 
 
-def test_cram_reader_mutation_fuzz(tmp_path):
+@pytest.mark.parametrize(
+    "method", ["gzip", "rans0", "rans1", "rans0_16", "rans1_16"]
+)
+def test_cram_reader_mutation_fuzz(tmp_path, method):
     """Seeded mutation fuzz: random byte flips/truncations of a valid
     CRAM must produce clean errors or valid counts — never a crash (a
-    native segfault would kill the test process)."""
+    native segfault would kill the test process).  Parametrized over the
+    block codecs so every decode path sees hostile bytes."""
     rng = np.random.default_rng(1234)
     recs = _records()
     cram_path = str(tmp_path / "f.cram")
@@ -330,11 +334,11 @@ def test_cram_reader_mutation_fuzz(tmp_path):
             r["nf"] = mate[1]
         slices[-1]["records"].append(r)
     cramtools.write_cram(
-        cram_path, REFS, slices, method="rans0_16", version=(3, 1)
+        cram_path, REFS, slices, method=method, version=(3, 1)
     )
     good = open(cram_path, "rb").read()
 
-    for trial in range(150):
+    for trial in range(100):
         raw = bytearray(good)
         kind = trial % 3
         if kind == 0:  # flip 1-4 bytes anywhere
