@@ -135,3 +135,38 @@ def test_loader_nondefault_maskrepeats(built_reference):
     assert loader.cutoff() == norm_ops.get_optimal_cutoff(
         np.asarray(passes["A"]["distances"]), 3
     )
+
+
+def test_load_reference_skip_distances(built_reference):
+    """skip_distances_if_cached leaves the distance tables unloaded when
+    the wcx_* caches cover them, and keeps them when caches are absent."""
+    path, passes, meta, _ = built_reference
+    cached, _ = load_reference_npz(path, skip_distances_if_cached=True)
+    for g, p in cached.items():
+        assert "distances" not in p, g
+        assert "indexes" in p and "wcx_distok" in p
+
+    full, _ = load_reference_npz(path)
+    for g, p in full.items():
+        assert "distances" in p, g
+
+    # Without the caches the flag must be a no-op.
+    import tempfile
+
+    stripped = {
+        g: {k: v for k, v in p.items() if not k.startswith("wcx_")}
+        for g, p in passes.items()
+    }
+    import os
+
+    with tempfile.TemporaryDirectory() as td:
+        bare = os.path.join(td, "bare.npz")
+        io_npz.save_reference_npz(
+            bare, stripped,
+            is_nipt=meta["is_nipt"], trained_cutoff=meta["trained_cutoff"],
+        )
+        bare_passes, _ = load_reference_npz(
+            bare, skip_distances_if_cached=True
+        )
+        for g, p in bare_passes.items():
+            assert "distances" in p, g
