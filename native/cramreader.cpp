@@ -493,8 +493,12 @@ std::vector<uint8_t> nx16_entropy(Cursor& c, size_t out_sz, int order,
 // Full rANS-Nx16 stream: flag byte + transforms (CRAMcodecs section 3).
 // ``size_hint``: expected output size (used when NOSZ suppresses the
 // stored one — STRIPE sub-streams — and verified otherwise).
+// ``depth`` guards against crafted STRIPE-in-STRIPE nesting: each level
+// costs ~4 bytes of input but a full C++ stack frame, so unbounded
+// recursion lets a small block overflow the stack; real emitters
+// (htslib) emit a single STRIPE level over plain entropy sub-streams.
 std::vector<uint8_t> rans_nx16_decode(const uint8_t* in, size_t n,
-                                      size_t size_hint) {
+                                      size_t size_hint, int depth = 0) {
   Cursor c{in, in + n};
   uint8_t flags = c.byte();
   const bool f_order = flags & 0x01;
@@ -509,6 +513,8 @@ std::vector<uint8_t> rans_nx16_decode(const uint8_t* in, size_t n,
     throw CramError("rANS-Nx16 size mismatch");
 
   if (f_stripe) {
+    if (depth >= 2)
+      throw CramError("rANS-Nx16 stripe nested deeper than 2 levels");
     int N = c.byte();
     if (N <= 0) throw CramError("rANS-Nx16 stripe with zero streams");
     std::vector<uint32_t> clen(N);
@@ -518,7 +524,7 @@ std::vector<uint8_t> rans_nx16_decode(const uint8_t* in, size_t n,
       if (c.p + clen[j] > c.end)
         throw CramError("rANS-Nx16 stripe overrun");
       size_t sub_len = (len - j + N - 1) / N;  // count of i: i%N == j
-      sub[j] = rans_nx16_decode(c.p, clen[j], sub_len);
+      sub[j] = rans_nx16_decode(c.p, clen[j], sub_len, depth + 1);
       c.p += clen[j];
     }
     std::vector<uint8_t> out(len);
@@ -600,6 +606,11 @@ std::vector<uint8_t> rans_nx16_decode(const uint8_t* in, size_t n,
         throw CramError("rANS-Nx16 pack with more than 16 symbols");
       int per = 8 / bits;
       uint32_t mask = (1u << bits) - 1;
+      // pack_len is attacker-controlled; the loop below indexes
+      // data[i / per] for i in [0, len), so a short payload would read
+      // out of bounds.  Exactly ceil(len / per) packed bytes are valid.
+      if (data.size() != (len + (size_t)per - 1) / (size_t)per)
+        throw CramError("rANS-Nx16 pack length mismatch");
       for (size_t i = 0; i < len; i++) {
         uint8_t byteval = data[i / per];
         uint32_t v = (byteval >> ((i % per) * bits)) & mask;

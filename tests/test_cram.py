@@ -392,3 +392,112 @@ def test_rans_nx16_decoder_mutation_fuzz():
                 bytes(mut), len(mut), out, len(data)
             )
             assert rc in (0, -1)
+
+
+def _nx16_decode_rc(stream: bytes, out_len: int) -> int:
+    """rc of the native decoder on a possibly-hostile stream."""
+    import ctypes
+
+    from wisecondorx_tpu.io.bam import _load_library
+
+    lib = _load_library()
+    lib.wcx_rans_nx16_test.restype = ctypes.c_int
+    out = (ctypes.c_uint8 * max(out_len, 1))()
+    return lib.wcx_rans_nx16_test(bytes(stream), len(stream), out, out_len)
+
+
+def test_rans_nx16_short_pack_rejected():
+    """PACK whose stored pack_len is shorter than ceil(len/per) must be
+    rejected: the unpack loop indexes data[i // per] for i in [0, len),
+    so a short payload previously read past the heap allocation (advisor
+    round-4 high finding).  Exact-length payloads still decode."""
+    # flags = PACK|CAT, len = 16, alphabet {A, B} -> 1 bit/symbol,
+    # 8 symbols/byte, so exactly 2 packed bytes are valid.
+    head = bytes([0x80 | 0x20]) + cramtools.uint7(16) + bytes([2, 65, 66])
+    bad = head + cramtools.uint7(1) + b"\xaa"          # one byte short
+    assert _nx16_decode_rc(bad, 16) == -1
+    # Over-long payloads are equally malformed.
+    long = head + cramtools.uint7(3) + b"\xaa\xbb\xcc"
+    assert _nx16_decode_rc(long, 16) == -1
+
+    import ctypes
+
+    from wisecondorx_tpu.io.bam import _load_library
+
+    lib = _load_library()
+    good = head + cramtools.uint7(2) + b"\xaa\xbb"
+    out = (ctypes.c_uint8 * 16)()
+    assert lib.wcx_rans_nx16_test(good, len(good), out, 16) == 0
+    # 0xAA unpacks LSB-first to ABABABAB, 0xBB to BBABBBAB.
+    assert bytes(out[:16]) == b"ABABABAB" + b"BBABBBAB"
+
+
+def test_rans_nx16_shrunk_pack_len_fuzz():
+    """Shrink the encoder's real pack_len field byte-exactly and assert a
+    clean rejection for every shorter value (the advisor's prescribed
+    fuzz case)."""
+    rng = np.random.default_rng(11)
+    data = bytes(rng.choice([3, 7, 9], size=333).astype(np.uint8))
+    # Re-assemble the stream around a corrupted pack_len rather than
+    # patching bytes: CAT keeps the payload literal so every field is
+    # at a known offset.
+    packed = bytearray()
+    syms = sorted(set(data))
+    lut = {s: i for i, s in enumerate(syms)}
+    for i, b in enumerate(data):  # 2 bits/symbol, 4 per byte
+        if i % 4 == 0:
+            packed.append(0)
+        packed[-1] |= lut[b] << ((i % 4) * 2)
+    true_len = len(packed)
+    assert true_len == (len(data) + 3) // 4
+    for claimed in (0, 1, true_len - 1, true_len, true_len + 1):
+        stream = (
+            bytes([0x80 | 0x20]) + cramtools.uint7(len(data))
+            + bytes([len(syms), *syms]) + cramtools.uint7(claimed)
+            + bytes(packed[:claimed])
+        )
+        rc = _nx16_decode_rc(stream, len(data))
+        assert rc == (0 if claimed == true_len else -1), claimed
+        if claimed == true_len:
+            import ctypes
+
+            from wisecondorx_tpu.io.bam import _load_library
+
+            lib = _load_library()
+            out = (ctypes.c_uint8 * len(data))()
+            lib.wcx_rans_nx16_test(stream, len(stream), out, len(data))
+            assert bytes(out[:len(data)]) == data
+
+
+def test_rans_nx16_nested_stripe_depth_capped():
+    """STRIPE recurses into its sub-streams; a crafted STRIPE-in-STRIPE
+    chain (~6 bytes per level) could previously drive recursion depth to
+    ~n/6 and overflow the C++ stack.  Two stripe levels (one more than
+    real emitters use) decode; three or more are rejected cleanly
+    (advisor round-4 low finding)."""
+    cat = bytes([0x20 | 0x10]) + b"WXYZ"  # NOSZ|CAT leaf, 4 bytes
+
+    def wrap_nosz(payload: bytes) -> bytes:
+        return (bytes([0x08 | 0x10, 1]) + cramtools.uint7(len(payload))
+                + payload)
+
+    def top(payload: bytes) -> bytes:
+        return (bytes([0x08]) + cramtools.uint7(4) + bytes([1])
+                + cramtools.uint7(len(payload)) + payload)
+
+    import ctypes
+
+    from wisecondorx_tpu.io.bam import _load_library
+
+    lib = _load_library()
+    two_levels = top(wrap_nosz(cat))
+    out = (ctypes.c_uint8 * 4)()
+    assert lib.wcx_rans_nx16_test(two_levels, len(two_levels), out, 4) == 0
+    assert bytes(out[:4]) == b"WXYZ"
+
+    three = top(wrap_nosz(wrap_nosz(cat)))
+    assert _nx16_decode_rc(three, 4) == -1
+    bomb = cat
+    for _ in range(5000):  # would previously recurse 5000 frames deep
+        bomb = wrap_nosz(bomb)
+    assert _nx16_decode_rc(top(bomb), 4) == -1

@@ -170,3 +170,35 @@ def test_load_reference_skip_distances(built_reference):
         )
         for g, p in bare_passes.items():
             assert "distances" in p, g
+
+
+def test_maskrepeats_zero_means_no_masking(built_reference):
+    """--maskrepeats 0 runs the reference's cutoff loop zero times, i.e.
+    an infinite cutoff and no distance masking (reference
+    predict_tools.py:74-82).  Round 4 regressed this two ways: the
+    direct path raised IndexError on an empty schedule, and the cached
+    paths silently indexed the deepest cached cutoff (advisor round-4
+    medium finding).  The loader, the in-memory path, and the direct
+    kernel must all agree — with every neighbour kept."""
+    path, passes, meta, test_sample = built_reference
+    dist = np.asarray(passes["A"]["distances"])
+    assert norm_ops.get_optimal_cutoff(dist, 0) == float("inf")
+    assert norm_ops.get_optimal_cutoff(dist, -1) == float("inf")
+
+    cfg = PredictConfig(minrefbins=10, maskrepeats=0, seed=7)
+    ref_passes, ref_meta = load_reference_npz(path)
+    want = predict_bins(test_sample, 100000, ref_passes, ref_meta, cfg)
+    loader = ReferenceLoader(path)
+    got = predict_bins(
+        test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
+    )
+    assert loader.cutoff() == float("inf")
+    for c in range(len(want.results_r)):
+        np.testing.assert_array_equal(got.results_r[c], want.results_r[c])
+        np.testing.assert_array_equal(got.results_z[c], want.results_z[c])
+
+    # The deepest cached cutoff (what the bug silently applied) masks
+    # at least one neighbour on this reference, so 0 and 5 repeats are
+    # genuinely distinguishable here.
+    c5 = float(passes["A"]["wcx_cutoffs"][4])
+    assert (np.asarray(dist, np.float64) >= c5).any()

@@ -244,6 +244,12 @@ class ReferenceLoader:
         # predict_control.py:34 reads the unsuffixed "distances" key).
         from wisecondorx_tpu.utils.log import stage_timer
 
+        if maskrepeats <= 0:
+            # No masking iterations: the reference returns the initial
+            # inf cutoff untouched (predict_tools.py:75-82); the cached
+            # schedule starts at repeats=1 so indexing it would silently
+            # apply the deepest cached cutoff instead.
+            return float("inf")
         cached = self.passes["A"].get("wcx_cutoffs")
         if cached is not None and maskrepeats <= len(np.atleast_1d(cached)):
             return float(np.atleast_1d(cached)[maskrepeats - 1])
@@ -311,8 +317,9 @@ class ReferenceLoader:
         # it was built for (the default 5).
         self._use_cache = maskrepeats == 5
         cutoffs = self.passes["A"].get("wcx_cutoffs")
-        cutoff_cached = cutoffs is not None and maskrepeats <= len(
-            np.atleast_1d(cutoffs)
+        cutoff_cached = maskrepeats <= 0 or (
+            cutoffs is not None
+            and maskrepeats <= len(np.atleast_1d(cutoffs))
         )
         for g in genders:
             ct = pass_ct(self.passes[g], g)

@@ -63,7 +63,13 @@ def coverage_normalize_and_mask(
 def get_optimal_cutoff(distances: np.ndarray, repeats: int) -> float:
     """Iterative mean+3*std over reference distances (reference
     predict_tools.py:74-82) — host numpy in float64: exact reference
-    parity, and it spares the device a full distance-table upload."""
+    parity, and it spares the device a full distance-table upload.
+
+    ``repeats <= 0`` means no distance masking at all: the reference's
+    loop body never executes and the initial ``float("inf")`` cutoff is
+    returned unchanged (predict_tools.py:75-82)."""
+    if repeats <= 0:
+        return float("inf")
     return float(optimal_cutoff_schedule(distances, repeats)[repeats - 1])
 
 

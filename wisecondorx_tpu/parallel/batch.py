@@ -158,7 +158,7 @@ def predict_batch(
 
     a_pass = ref_passes["A"]
     cutoffs = np.atleast_1d(a_pass.get("wcx_cutoffs", []))
-    if cfg.maskrepeats <= len(cutoffs):
+    if 1 <= cfg.maskrepeats <= len(cutoffs):
         cutoff = float(cutoffs[cfg.maskrepeats - 1])
     else:
         cutoff = norm_ops.get_optimal_cutoff(
