@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import warnings
 
 import numpy as np
 
@@ -280,10 +281,16 @@ def assemble_results(
     # Combine (reference main.py:242-257).
     results_r = np.concatenate([r_a, r_g])
     results_z = np.concatenate([z_a, z_g]) - m_z
-    results_w = np.concatenate(
-        [w_a * np.nanmean(w_g), w_g * np.nanmean(w_a)]
-    )
-    results_w = results_w / np.nanmean(results_w)
+    # Empty or all-NaN weight vectors (degenerate tiny references) make
+    # nanmean emit "Mean of empty slice" before the intended fallback
+    # below fires; the logged unweighted-CBS warning is the one signal
+    # this path should produce, so the raw RuntimeWarnings are muted.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        results_w = np.concatenate(
+            [w_a * np.nanmean(w_g), w_g * np.nanmean(w_a)]
+        )
+        results_w = results_w / np.nanmean(results_w)
     if np.isnan(results_w).any() or np.isinf(results_w).any():
         logging.warning(
             "Non-numeric values found in weights -- reference too small. "

@@ -108,9 +108,17 @@ def get_weights(distances: np.ndarray) -> np.ndarray:
     predict_tools.py:152-155); host float64 — see :func:`get_optimal_cutoff`.
 
     Row-independent, so calling it on a row slice equals slicing the
-    full-table result."""
+    full-table result.
+
+    Degenerate rows (a too-small reference can leave placeholder or
+    negative distances) yield NaN weights exactly as the reference's
+    expression does; the predict assembler detects those and falls back
+    to unweighted CBS with an explicit warning (predictor.py), so the
+    raw numpy RuntimeWarning is suppressed here — the logged fallback is
+    the intended signal."""
     distances = np.asarray(distances, dtype=np.float64)
-    return 1.0 / np.mean(np.sqrt(distances), axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return 1.0 / np.mean(np.sqrt(distances), axis=1)
 
 
 def sentinel_indexes(
