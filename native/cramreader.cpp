@@ -942,6 +942,10 @@ struct CramFile {
     if (got == 0) return false;  // clean EOF (no EOF container)
     if (got != 4) throw CramError("truncated container length");
     memcpy(&h.length, lenbuf, 4);
+    // A crafted negative length would move container_end BEFORE the
+    // current position: the outer loop's fseek would walk backwards and
+    // re-parse the same bytes forever (DoS).
+    if (h.length < 0) throw CramError("negative container length");
     uint8_t buf[1024];
     size_t have = fread(buf, 1, sizeof(buf), f);
     Cursor c{buf, buf + have};
@@ -953,6 +957,11 @@ struct CramFile {
     (void)c.ltf8();  // bases
     h.n_blocks = c.itf8();
     int32_t n_land = c.itf8();
+    // Landmarks are itf8 (>= 1 byte each) inside this bounded header
+    // buffer; a count beyond it is corrupt and would otherwise drive a
+    // multi-GB vector allocation before the cursor ever faulted.
+    if (n_land < 0 || (size_t)n_land > have)
+      throw CramError("implausible landmark count");
     h.landmarks.resize(n_land);
     for (int32_t i = 0; i < n_land; i++) h.landmarks[i] = c.itf8();
     c.skip(4);  // crc32

@@ -650,6 +650,8 @@ def write_cram(
     bf_huffman=False,
     mq_beta=False,
     version=(3, 0),
+    slices_per_container=1,
+    embedded_ref=False,
 ):
     """Write a CRAM 3.x file.
 
@@ -659,8 +661,17 @@ def write_cram(
         'records': list of dicts with keys flag, pos (0-based), mapq,
             and one of: {} (no mate), {'pnext': int} (detached mate),
             {'nf': int} (mate nf records downstream).
-    Every slice goes into its own container.
+
+    ``slices_per_container`` groups that many slices under ONE container
+    with a single shared compression header (the spec's normal layout for
+    real emitters; requires ``bf_huffman=False`` since a shared header
+    cannot carry per-slice alphabets).  ``embedded_ref`` attaches an
+    extra external block per slice, referenced as the slice header's
+    embedded-reference block id — binning must skip it.
     """
+    if slices_per_container > 1 and bf_huffman:
+        raise ValueError("multi-slice containers need slice-independent "
+                         "series encodings (bf_huffman=False)")
     out = bytearray()
     out += b"CRAM" + bytes(version) + b"\x00" * 20
 
@@ -671,7 +682,14 @@ def write_cram(
     hdr_payload = struct.pack("<i", len(sam_b)) + sam_b
     out += container([block(0, 0, hdr_payload, "raw")])
 
-    for sl in slices:
+    EMBED_ID = 99  # content id for the embedded-reference decoy block
+
+    def build_slice(sl, series_multiref):
+        """One slice's (slice-header block, data blocks, start_pos).
+
+        ``series_multiref``: the container's shared compression header
+        carries an RI encoding (a non-multiref slice then simply never
+        consumes it)."""
         recs = sl["records"]
         multiref = sl["ref_id"] == -2
         streams = {k: bytearray() for k in
@@ -743,36 +761,59 @@ def write_cram(
         series["NF"] = enc_external(ids["NF"])
         series["NP"] = enc_external(ids["NP"])
         series["RL"] = enc_external(ids["RL"])
-        if multiref:
+        if series_multiref:
             series["RI"] = enc_external(ids["RI"])
-
-        ch_block = block(1, 0, compression_header(series, ap_delta), method)
 
         slice_hdr = itf8(sl["ref_id"] & 0xFFFFFFFF)
         slice_hdr += itf8(start_pos) + itf8(10**6) + itf8(len(recs))
         slice_hdr += ltf8(0)
         data_blocks = [block(5, 0, core.bytes(), method)]  # core first
+        block_ids = []
         for key, cid in ids.items():
             if key == "RI" and not multiref:
                 continue
             data_blocks.append(block(4, cid, bytes(streams[key]), method))
+            block_ids.append(cid)
+        if embedded_ref:
+            data_blocks.append(
+                block(4, EMBED_ID, b"ACGT" * 64, method)
+            )
+            block_ids.append(EMBED_ID)
         slice_hdr += itf8(len(data_blocks))
         slice_hdr += itf8(len(data_blocks))  # content-id array length
-        for key, cid in ids.items():
-            if key == "RI" and not multiref:
-                continue
+        for cid in block_ids:
             slice_hdr += itf8(cid)
         slice_hdr += itf8(0)  # pad the id array entry for the core block
-        slice_hdr += itf8(0xFFFFFFFF & -1)  # embedded ref block id (-1)
+        slice_hdr += itf8(
+            EMBED_ID if embedded_ref else 0xFFFFFFFF & -1
+        )  # embedded ref block id
         slice_hdr += b"\x00" * 16  # md5
 
         sh_block = block(2, 0, bytes(slice_hdr), method)
+        return sh_block, data_blocks, series, start_pos
+
+    for g0 in range(0, len(slices), slices_per_container):
+        group_slices = slices[g0 : g0 + slices_per_container]
+        group_multiref = any(s["ref_id"] == -2 for s in group_slices)
+        built = [build_slice(sl, group_multiref) for sl in group_slices]
+        # One compression header for the whole container.  All slices
+        # share the same series schema by construction (only bf_huffman
+        # per-slice alphabets would differ, rejected above); RI is
+        # present iff any slice in the group is multi-ref.
+        ch_block = block(
+            1, 0, compression_header(built[0][2], ap_delta), method
+        )
+        body = [ch_block]
+        for sh_block, data_blocks, _, _ in built:
+            body.append(sh_block)
+            body.extend(data_blocks)
+        first = group_slices[0]
+        rid = first["ref_id"] if len(group_slices) == 1 else -2
         out += container(
-            [ch_block, sh_block] + data_blocks,
-            ref_seq_id=sl["ref_id"] & 0xFFFFFFFF if sl["ref_id"] < 0
-            else sl["ref_id"],
-            start=start_pos,
-            n_records=len(recs),
+            body,
+            ref_seq_id=rid & 0xFFFFFFFF if rid < 0 else rid,
+            start=built[0][3],
+            n_records=sum(len(s["records"]) for s in group_slices),
         )
 
     # EOF container (ref -1, no records, one empty block)

@@ -225,6 +225,16 @@ def predict_bins(
     with stage_timer("predict.normalize_autosomes"):
         dev_a = _pass_normalize_dispatch(sample, a_pass, tables_a)
         dev_g = _pass_normalize_dispatch(sample, g_pass, tables_g)
+    # The tunneled TPU's one-time d2h channel init (50-900 s, pure
+    # harness artifact) stalls whichever fetch runs first; waiting for
+    # it under its own stage keeps the normalize breakdown attributable
+    # to product work (BENCH_r04's 44.6 s "normalize_autosomes" was
+    # mostly this stall).  Instant on directly attached devices and CPU.
+    from wisecondorx_tpu.utils.device import warm_readback_channel
+
+    with stage_timer("predict.d2h_channel_wait"):
+        warm_readback_channel().wait()
+    with stage_timer("predict.normalize_autosomes"):
         z_a, r_a, w_a, sizes_a, m_lr, m_z, _ = _pass_fetch(
             dev_a, tables_a
         )

@@ -158,9 +158,13 @@ def start_predict_warmup(ref_path, cfg=None):
       narrowed to the gender the predictor resolves via
       :func:`set_predict_gender_hint` (waits briefly for the hint);
     * CBS track: every segment-size bucket for the largest chromosome,
-      largest-first (:func:`start_cbs_warmup`) — the long pole once the
-      table transfers stopped dominating, so it no longer chains behind
-      the normalize warms.
+      largest-first (:func:`start_cbs_warmup`) — started only AFTER the
+      A-pass kernel has compiled.  Tracing is pure-Python (GIL-bound):
+      on the 2-core bench host three concurrent CBS tracing threads
+      starved the A-pass warm from ~7 s to 18-45 s (BENCH_r04's 44.6 s
+      normalize_autosomes), and the A compile gates the first
+      normalization while CBS is only needed two stages later — so the
+      critical compile gets the interpreter to itself.
 
     Returns an Event set when the normalize track finishes.  No-op off-TPU.
     """
@@ -195,18 +199,17 @@ def start_predict_warmup(ref_path, cfg=None):
             max_chr_bins = max(
                 int(np.max(h["bins_per_chr"])) for h in headers.values()
             )
-            # CBS buckets warm concurrently with the A-pass kernel: with
-            # the loader now cache-driven (near-zero host CPU) the
-            # remaining contention is two tracing threads, and the CBS
-            # warm is mostly remote-compile wait (measured 9.7 s for 9
-            # buckets).  The original everything-at-once pathology came
-            # from the since-removed decompress/cutoff host work.
-            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg))
+            # Critical path first: nothing else traces until the A-pass
+            # normalization kernel is compiled.
             warm_normalize_pass(headers["A"], "A")
             logging.info(
                 "predict normalize warm-up (A) done in %.1fs",
                 time.perf_counter() - t0,
             )
+            # CBS buckets have until predict.cbs (post-normalize,
+            # post-postprocess) to finish; their remote compiles overlap
+            # the normalize dispatch/fetch from here.
+            start_cbs_warmup(max_chr_bins, _to_cbs_cfg(cfg), threads=2)
             _gender_hint["event"].wait(timeout=60)
             hint = _gender_hint["gender"]
             genders = (
