@@ -158,6 +158,34 @@ def run_cli(args, tag, tail_lines=12):
     return wall, chan, stages
 
 
+def link_probe():
+    """Measured host<->device bandwidth (MB/s up, down) on a 64 MB
+    transfer each way.  The tunneled axon link's health varies by ~10x
+    between runs (measured 3-45 MB/s); newref's wall is set by ~500 MB
+    of irreducible table transfer, so the scoreboard carries the link
+    speed the run actually got — a fetch-dominated breakdown with a
+    degraded link is harness weather, not a product regression."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    host = rng.random((16, 1024, 1024), dtype=np.float32)  # 64 MB
+    dev = jnp.asarray(host)  # warm + allocate
+    float(dev.sum())  # force materialization + channel warm
+    t0 = time.perf_counter()
+    # A device-side reduction fetched to host proves the upload landed
+    # (block_until_ready alone acks before the tunneled copy completes,
+    # measured at a fictitious 1.5 GB/s); the scalar round-trip is noise
+    # at this size.
+    float(jnp.asarray(host * 0.5).sum())
+    up = 64.0 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    down = 64.0 / (time.perf_counter() - t0)
+    log(f"link: h2d {up:.1f} MB/s, d2h {down:.1f} MB/s")
+    return up, down
+
+
 def kernel_benchmarks(n_samples):
     """Kernel-level device performance, measured in-process on synthetic
     device-resident data (no host link in the timed region):
@@ -332,6 +360,9 @@ def main():
     }))
 
     # ---- kernel-level device performance (VERDICT r3 missing #3) ----
+    link_up, link_down = link_probe()
+    metric("link_h2d_mbps", link_up, "MB/s")
+    metric("link_d2h_mbps", link_down, "MB/s")
     kernels = kernel_benchmarks(n_samples)
     for name, value in kernels.items():
         metric(name, value, "")
@@ -387,6 +418,8 @@ def main():
                     "cbs_perm_rows_per_s": round(
                         kernels["cbs_perm_rows_per_s"]
                     ),
+                    "link_h2d_mbps": round(link_up, 1),
+                    "link_d2h_mbps": round(link_down, 1),
                     "vs_baseline_knn_loop": round(ref_est / corrected, 1),
                 },
             },
