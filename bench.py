@@ -359,27 +359,70 @@ def main():
         "value": {k: round(v, 2) for k, v in predict_stages.items()},
     }))
 
+    # Headline scoreboard dict, filled incrementally so a partial run
+    # (timeout/kill in a later section) still carried the key numbers in
+    # the intermediate line logged after the predict section.
+    corrected = newref_wall - newref_chan
+    headline = {
+        "newref_e2e_s": round(corrected, 2),
+        "predict_e2e_best_s": round(predict_walls[0], 2),
+        "predict_e2e_median_s": round(
+            predict_walls[len(predict_walls) // 2], 2
+        ),
+        "predict_e2e_worst_s": round(predict_walls[-1], 2),
+        "predict_worst_over_best": round(
+            predict_walls[-1] / max(predict_walls[0], 1e-9), 2
+        ),
+        "predict_e2e_stage_max_s": round(max(predict_stage_maxes), 2),
+        "vs_baseline_knn_loop": round(ref_est / corrected, 1),
+    }
+    log(json.dumps(
+        {"partial_scoreboard": headline}, separators=(",", ":")
+    ))
+
     # ---- kernel-level device performance (VERDICT r3 missing #3) ----
-    link_up, link_down = link_probe()
-    metric("link_h2d_mbps", link_up, "MB/s")
-    metric("link_d2h_mbps", link_down, "MB/s")
-    kernels = kernel_benchmarks(n_samples)
-    for name, value in kernels.items():
-        metric(name, value, "")
+    # Each remaining section is best-effort: the final scoreboard line
+    # must print even if a late section fails.
+    try:
+        link_up, link_down = link_probe()
+        metric("link_h2d_mbps", link_up, "MB/s")
+        metric("link_d2h_mbps", link_down, "MB/s")
+        headline["link_h2d_mbps"] = round(link_up, 1)
+        headline["link_d2h_mbps"] = round(link_down, 1)
+    except Exception as e:
+        log(f"link probe failed: {e}")
+    try:
+        kernels = kernel_benchmarks(n_samples)
+        for name, value in kernels.items():
+            metric(name, value, "")
+        headline["knn_tflops"] = round(kernels["knn_tflops"], 2)
+        headline["knn_mfu_pct"] = round(kernels["knn_mfu_pct"], 1)
+        headline["cbs_perm_rows_per_s"] = round(
+            kernels["cbs_perm_rows_per_s"]
+        )
+    except Exception as e:
+        log(f"kernel benchmarks failed: {e}")
 
     # ---- predict-batch, cold, amortized ----
-    plate = files[:batch_n - 1] + [trisomy]
-    outdir = os.path.join(work, "plate")
-    batch_wall, batch_chan, _ = run_cli(
-        ["predict-batch", ref_npz, outdir, "--bed", "--infiles", *plate],
-        f"predict-batch x{len(plate)}",
-        tail_lines=3,  # per-sample "Wrote ..." chatter stays off the tail
-    )
-    metric("predict_batch_s_per_sample", batch_wall / len(plate), "s")
-    metric(
-        "predict_batch_s_per_sample_minus_tunnel_init",
-        (batch_wall - batch_chan) / len(plate), "s",
-    )
+    try:
+        plate = files[:batch_n - 1] + [trisomy]
+        outdir = os.path.join(work, "plate")
+        batch_wall, batch_chan, _ = run_cli(
+            ["predict-batch", ref_npz, outdir, "--bed",
+             "--infiles", *plate],
+            f"predict-batch x{len(plate)}",
+            tail_lines=3,  # "Wrote ..." chatter stays off the tail
+        )
+        metric("predict_batch_s_per_sample", batch_wall / len(plate), "s")
+        metric(
+            "predict_batch_s_per_sample_minus_tunnel_init",
+            (batch_wall - batch_chan) / len(plate), "s",
+        )
+        headline["batch_s_per_sample"] = round(
+            (batch_wall - batch_chan) / len(plate), 2
+        )
+    except Exception as e:
+        log(f"predict-batch failed: {e}")
 
     # Headline: ONE final compact JSON line carrying the complete
     # scoreboard, so the driver's 2000-byte stdout/stderr tail always
@@ -389,7 +432,6 @@ def main():
     # tunnel's one-time d2h channel init — measured at 1.8 s to 984 s
     # across consecutive identical processes, pure harness noise that
     # does not exist on directly attached TPU hosts.
-    corrected = newref_wall - newref_chan
     print(
         json.dumps(
             {
@@ -397,31 +439,7 @@ def main():
                 "value": round(corrected, 2),
                 "unit": "s",
                 "vs_baseline": round(ref_est / corrected, 1),
-                "headline": {
-                    "newref_e2e_s": round(corrected, 2),
-                    "predict_e2e_best_s": round(predict_walls[0], 2),
-                    "predict_e2e_median_s": round(
-                        predict_walls[len(predict_walls) // 2], 2
-                    ),
-                    "predict_e2e_worst_s": round(predict_walls[-1], 2),
-                    "predict_worst_over_best": round(
-                        predict_walls[-1] / max(predict_walls[0], 1e-9), 2
-                    ),
-                    "predict_e2e_stage_max_s": round(
-                        max(predict_stage_maxes), 2
-                    ),
-                    "batch_s_per_sample": round(
-                        (batch_wall - batch_chan) / len(plate), 2
-                    ),
-                    "knn_tflops": round(kernels["knn_tflops"], 2),
-                    "knn_mfu_pct": round(kernels["knn_mfu_pct"], 1),
-                    "cbs_perm_rows_per_s": round(
-                        kernels["cbs_perm_rows_per_s"]
-                    ),
-                    "link_h2d_mbps": round(link_up, 1),
-                    "link_d2h_mbps": round(link_down, 1),
-                    "vs_baseline_knn_loop": round(ref_est / corrected, 1),
-                },
+                "headline": headline,
             },
             separators=(",", ":"),
         )

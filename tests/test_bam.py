@@ -141,3 +141,102 @@ def test_bam_reader_mutation_fuzz(tmp_path):
             convert_reads(p, BINSIZE)
         except Exception:
             pass
+
+
+def _bam_payload(refs, records):
+    """The raw (uncompressed) BAM byte stream: header + records."""
+    import struct
+
+    payload = b"BAM\1" + struct.pack("<i", 0)
+    payload += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nm = name.encode() + b"\0"
+        payload += (
+            struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
+        )
+    return payload + b"".join(records)
+
+
+def test_records_straddling_bgzf_blocks(tmp_path):
+    """htslib packs the BAM byte stream into BGZF blocks at arbitrary
+    offsets — records routinely straddle block boundaries.  The repo's
+    writer always block-aligns whole records, so this builds blocks cut
+    at every awkward offset (mid-length-field, mid-record, 1-byte
+    blocks, an empty block) and demands counts identical to the aligned
+    layout.  Reference surface: convert_tools.py:22-33 via htslib."""
+    import bamtools
+
+    recs = _records()
+    aligned = str(tmp_path / "aligned.bam")
+    write_bam(aligned, REFS, recs)
+    want, wq = convert_reads(aligned, 1000.0)
+
+    payload = _bam_payload(REFS, recs)
+    for cuts in (
+        [1, 2, 3, 7],              # tiny leading blocks, then the rest
+        [37],                      # cut inside the header
+        [len(payload) // 2 - 1],   # cut mid-record
+        list(range(50, len(payload), 61)),  # many odd-size blocks
+    ):
+        blocks = []
+        prev = 0
+        for c in cuts + [len(payload)]:
+            if c <= prev or c > len(payload):
+                continue
+            blocks.append(bamtools.bgzf_block(payload[prev:c]))
+            prev = c
+        blocks.insert(1, bamtools.bgzf_block(b""))  # empty mid-block
+        blocks.append(bamtools.bgzf_block(b""))     # EOF marker
+        p = str(tmp_path / "split.bam")
+        open(p, "wb").write(b"".join(blocks))
+        got, gq = convert_reads(p, 1000.0)
+        for k in want:
+            if want[k] is None:
+                assert got[k] is None, k
+            else:
+                np.testing.assert_array_equal(want[k], got[k], err_msg=k)
+        assert wq == gq
+
+
+def test_bgzf_structural_corruption_clean(tmp_path):
+    """Structural BGZF damage — truncated final block, corrupt payload
+    CRC, corrupt BSIZE — must raise a clean ConvertError (or, for a
+    clean truncation at a record boundary, yield valid partial counts),
+    never crash."""
+    import struct
+
+    import bamtools
+
+    recs = _records()
+    payload = _bam_payload(REFS, recs)
+    good_blocks = [
+        bamtools.bgzf_block(payload[i : i + 100])
+        for i in range(0, len(payload), 100)
+    ]
+    raw = b"".join(good_blocks) + bamtools.bgzf_block(b"")
+
+    cases = {
+        "truncate-mid-block": raw[: len(raw) - len(raw) // 3],
+        "garbage-tail": raw + b"\x99" * 37,
+    }
+    # Corrupt the first block's payload CRC (last 8 bytes of the block
+    # are crc32 + isize).
+    b0 = bytearray(good_blocks[0])
+    b0[-5] ^= 0xFF
+    cases["bad-crc"] = bytes(b0) + b"".join(good_blocks[1:])
+    # Corrupt BSIZE of the second block (offset 16-17 within the block).
+    b1 = bytearray(good_blocks[1])
+    struct.pack_into("<H", b1, 16, 7)
+    cases["bad-bsize"] = good_blocks[0] + bytes(b1) + b"".join(
+        good_blocks[2:]
+    )
+
+    for name, blob in cases.items():
+        p = str(tmp_path / "bad.bam")
+        open(p, "wb").write(blob)
+        try:
+            counts, _ = convert_reads(p, 1000.0)
+            assert isinstance(counts, dict), name
+        except ConvertError:
+            pass  # the clean-error contract; a native crash would kill
+            # the test process instead
