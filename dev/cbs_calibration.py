@@ -86,10 +86,10 @@ def null_jobs(n, reps, weight_regime, na_regime, rng):
     return jobs
 
 
-def realized_level(jobs, alpha, nperm, seed=17):
+def realized_level(jobs, alpha, nperm, seed=17, p_method="perm"):
     from wisecondorx_tpu.ops.cbs import CBSConfig, _segment_jobs
 
-    cfg = CBSConfig(alpha=alpha, nperm=nperm, seed=seed, p_method="perm")
+    cfg = CBSConfig(alpha=alpha, nperm=nperm, seed=seed, p_method=p_method)
     t0 = time.perf_counter()
     res = _segment_jobs(jobs, cfg)
     dt = time.perf_counter() - t0
@@ -97,7 +97,7 @@ def realized_level(jobs, alpha, nperm, seed=17):
     return rejected, dt
 
 
-def power_check(n, alpha, nperm, rng, reps=50):
+def power_check(n, alpha, nperm, rng, reps=50, p_method="perm"):
     from wisecondorx_tpu.ops.cbs import CBSConfig, _segment_jobs
 
     jobs = []
@@ -108,7 +108,7 @@ def power_check(n, alpha, nperm, rng, reps=50):
         y[a : a + ln] += 8.0 / np.sqrt(ln)
         w = np.abs(rng.normal(1.0, 0.15, n)) + 1e-3
         jobs.append((y, w))
-    cfg = CBSConfig(alpha=alpha, nperm=nperm, seed=23, p_method="perm")
+    cfg = CBSConfig(alpha=alpha, nperm=nperm, seed=23, p_method=p_method)
     res = _segment_jobs(jobs, cfg)
     return sum(len(r) > 1 for r in res), reps
 
@@ -127,6 +127,12 @@ def main():
     ap.add_argument("--reps", type=int, default=2000)
     ap.add_argument("--nperm", type=int, default=2000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--p-method", default="perm",
+                    choices=["perm", "hybrid"],
+                    help="hybrid differs from perm only above exact_max "
+                         "(the analytic long-arc tail kicks in); pair "
+                         "with --sizes 16384")
+    ap.add_argument("--sizes", type=int, nargs="+", default=None)
     args = ap.parse_args()
 
     import jax
@@ -134,7 +140,7 @@ def main():
     backend = jax.default_backend()
     print(f"backend: {backend}", file=sys.stderr)
 
-    sizes = [500, 2048, 16384]
+    sizes = args.sizes or [500, 2048, 16384]
     alphas = [0.05, 0.01]
     cells = []
     for n in sizes:
@@ -142,8 +148,9 @@ def main():
             for wreg in ("mild", "skewed"):
                 na = "runs" if (n == 16384 and wreg == "skewed") else "none"
                 cells.append((n, alpha, wreg, na))
-    # One extra NA cell at an exact-family size.
-    cells.append((500, 0.05, "skewed", "runs"))
+    if args.sizes is None:
+        # One extra NA cell at an exact-family size.
+        cells.append((500, 0.05, "skewed", "runs"))
 
     if args.pilot:
         cells = cells[:1]
@@ -153,7 +160,8 @@ def main():
     rows = []
     for n, alpha, wreg, na in cells:
         jobs = null_jobs(n, args.reps, wreg, na, rng)
-        rejected, dt = realized_level(jobs, alpha, args.nperm)
+        rejected, dt = realized_level(jobs, alpha, args.nperm,
+                                      p_method=args.p_method)
         level = rejected / args.reps
         lo, hi = wilson_ci(rejected, args.reps)
         exact = np.floor(alpha * (args.nperm + 1)) / (args.nperm + 1)
@@ -170,12 +178,17 @@ def main():
 
     pw = []
     for n in sizes:
-        hits, reps = power_check(n, 0.01, args.nperm, rng)
+        hits, reps = power_check(n, 0.01, args.nperm, rng,
+                                 p_method=args.p_method)
         pw.append((n, hits, reps))
         print(f"power n={n}: {hits}/{reps}", file=sys.stderr, flush=True)
 
+    default_name = (
+        "cbs_calibration.md" if args.p_method == "perm"
+        else f"cbs_calibration_{args.p_method}.md"
+    )
     out = args.out or os.path.join(
-        os.path.dirname(__file__), "..", "docs", "cbs_calibration.md"
+        os.path.dirname(__file__), "..", "docs", default_name
     )
     with open(out, "w") as f:
         f.write(_render(backend, args, rows, pw))
@@ -186,7 +199,8 @@ def _render(backend, args, rows, pw):
     lines = [
         "# Weighted CBS permutation test: measured calibration\n",
         "\nGenerated by `dev/cbs_calibration.py` on backend "
-        f"`{backend}` (reps/cell={args.reps}, nperm={args.nperm}).\n",
+        f"`{backend}` (reps/cell={args.reps}, nperm={args.nperm}, "
+        f"p_method={args.p_method}).\n",
         "\nRealized Type-I level of the production engine's split "
         "decision\n(`ops/cbs._segment_jobs`, `p_method=\"perm\"`) on "
         "i.i.d. Gaussian null\nchromosomes — the exchangeable case where "

@@ -473,6 +473,12 @@ def _tail_prob_long_arcs(b: float, n: int, kmax: int) -> float:
     Empirical calibration (tests/test_cbs_battery.py): within a factor ~2
     of Monte-Carlo in the moderate tail at n=200, erring conservative
     (over-estimating p, i.e. under-splitting).  Returns 1.0 for tiny b.
+
+    MEASURED UNSAFE ON SKEWED WEIGHTS (docs/cbs_calibration_hybrid.md):
+    the formula assumes equal-variance increments; under 3-decade weight
+    skew it realizes Type-I level 0.0695 at alpha=0.05 (whole 95% CI
+    above alpha).  ``p_method="perm"`` (the default) is the validated
+    mode; do not use "hybrid" on weighted data.
     """
     from scipy.stats import norm as _norm
 
