@@ -158,6 +158,79 @@ def run_cli(args, tag, tail_lines=12):
     return wall, chan, stages
 
 
+def convert_benchmark(n_records=2_000_000):
+    """``convert`` stage throughput: native BAM reader reads/s on a
+    cached synthetic BAM (paired proper reads across 24 contigs, ~8%
+    duplicates, ~5% low-mapq — the filter mix of a real run).  The
+    reference's convert is pysam's C loop (convert_tools.py:73-105);
+    pysam is absent from this image, so the metric is absolute
+    throughput, not a head-to-head."""
+    import struct
+    import zlib
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import bamtools
+
+    from wisecondorx_tpu.io.bam import convert_reads
+
+    refs = [(f"chr{c}", 10_000_000) for c in range(1, 23)]
+    refs += [("chrX", 10_000_000), ("chrY", 2_000_000)]
+    path = os.path.expanduser(
+        f"~/.cache/wcx_bench_cohort/convert_{n_records}.bam"
+    )
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(3)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # Stream BGZF blocks directly: holding 2M encoded records in a
+        # list costs ~1 GB on the 4 GB host.
+        ref_ids = rng.integers(0, len(refs), n_records)
+        starts = rng.integers(0, 9_900_000, n_records)
+        mapqs = np.where(rng.random(n_records) < 0.05, 0, 60)
+        dup = rng.random(n_records) < 0.08
+        header_text = b""
+        payload = bytearray(
+            b"BAM\1" + struct.pack("<i", len(header_text)) + header_text
+        )
+        payload += struct.pack("<i", len(refs))
+        for name, length in refs:
+            nm = name.encode() + b"\0"
+            payload += struct.pack("<i", len(nm)) + nm
+            payload += struct.pack("<i", length)
+        with open(path, "wb") as f:
+            prev = (0, 0)
+            for i in range(n_records):
+                rid = int(ref_ids[i])
+                pos = prev[1] if dup[i] and prev[0] == rid else int(
+                    starts[i]
+                )
+                payload += bamtools.bam_record(
+                    rid, pos, mapq=int(mapqs[i]), flag=0x3,
+                    next_refid=rid, next_pos=pos + 300,
+                )
+                prev = (rid, pos)
+                if len(payload) >= 60000:
+                    f.write(bamtools.bgzf_block(bytes(payload[:60000])))
+                    del payload[:60000]
+            while payload:
+                f.write(bamtools.bgzf_block(bytes(payload[:60000])))
+                del payload[:60000]
+            f.write(bamtools.bgzf_block(b""))
+        log(
+            f"convert bench BAM built in {time.perf_counter() - t0:.0f}s "
+            f"({os.path.getsize(path) / 2**20:.0f} MB)"
+        )
+    t0 = time.perf_counter()
+    counts, qc = convert_reads(path, 5000.0)
+    dt = time.perf_counter() - t0
+    total = qc["total"] if "total" in qc else n_records
+    log(
+        f"convert: {total} records in {dt:.2f}s -> "
+        f"{total / dt / 1e6:.2f} M reads/s"
+    )
+    return total / dt
+
+
 def link_probe():
     """Measured host<->device bandwidth (MB/s up, down) on a 64 MB
     transfer each way.  The tunneled axon link's health varies by ~10x
@@ -380,9 +453,17 @@ def main():
         {"partial_scoreboard": headline}, separators=(",", ":")
     ))
 
-    # ---- kernel-level device performance (VERDICT r3 missing #3) ----
+    # ---- convert stage: native BAM reader throughput (host-only) ----
     # Each remaining section is best-effort: the final scoreboard line
     # must print even if a late section fails.
+    try:
+        reads_per_s = convert_benchmark()
+        metric("convert_mreads_per_s", reads_per_s / 1e6, "M/s")
+        headline["convert_mreads_per_s"] = round(reads_per_s / 1e6, 2)
+    except Exception as e:
+        log(f"convert benchmark failed: {e}")
+
+    # ---- kernel-level device performance (VERDICT r3 missing #3) ----
     try:
         link_up, link_down = link_probe()
         metric("link_h2d_mbps", link_up, "MB/s")
