@@ -300,15 +300,25 @@ def kernel_benchmarks(n_samples):
         )
         dev["indexes"].block_until_ready()
 
+    def best_of(fn, reps=3):
+        """Kernel microbenchmarks take the best of N: the shared chip's
+        remote queue adds multi-second stalls to individual dispatches
+        (measured 1.0 s vs 3.4 s for the identical program minutes
+        apart), and best-of damps exactly that one-sided noise."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     knn_once()  # compile
-    t0 = time.perf_counter()
-    knn_once()
-    dt = time.perf_counter() - t0
+    dt = best_of(knn_once)
     flops = 2.0 * rows * n * n_samples
     out["knn_tflops"] = flops / dt / 1e12
     out["knn_kernel_s"] = dt
     # Roofline context: the distance matmul runs at Precision.HIGHEST
-    # (6-pass bf16 emulation of f32 — ops/common.py), so the relevant
+    # (6-pass bf16 emulation of f32 — ops/common.py), so the theoretical
     # ceiling on this v5e chip is ~197 bf16 TFLOP/s / 6 ~= 33 effective
     # f32 TFLOP/s; the quotient is the MXU utilization of the WHOLE
     # fused kernel (matmul + in-VMEM top-k + staging), not matmul-only.
@@ -319,6 +329,44 @@ def kernel_benchmarks(n_samples):
         f"{dt:.2f}s -> {out['knn_tflops']:.2f} effective f32 TFLOP/s "
         f"(~{out['knn_mfu_pct']:.0f}% of the ~{f32_peak:.0f} TFLOP/s "
         "HIGHEST-precision ceiling, top-k included)"
+    )
+
+    # Achievable-baseline context: what XLA's own HIGHEST-precision
+    # matmul (plus a free row-min, NO top-k) reaches on the same shapes.
+    # Measured round 5: ~5.9-6.9 TFLOP/s — the theoretical 33 is not
+    # attainable by the compiler either; in quiet same-process runs the
+    # fused kernel with exact top-300 included measured ~1.35x the bare
+    # compiler matmul (8.35 vs 6.17 TFLOP/s).
+    from functools import partial as _partial
+
+    n_pad = (n // 4096) * 4096
+    blocks = data[:n_pad].reshape(n_pad // 4096, 4096, n_samples)
+
+    @_partial(jax.jit, static_argnames=("precision",))
+    def mm_scan(a, blocks, precision):
+        def body(acc, blk):
+            d = jnp.dot(a, blk.T, preferred_element_type=jnp.float32,
+                        precision=precision)
+            return acc + jnp.min(d, axis=1), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(a.shape[0], jnp.float32), blocks
+        )
+        return acc
+
+    a_rows = data[:rows]
+    np.asarray(mm_scan(a_rows, blocks, precision="highest"))  # compile
+    dt_mm = best_of(
+        lambda: np.asarray(mm_scan(a_rows, blocks, precision="highest"))
+    )
+    fl_mm = 2.0 * rows * n_pad * n_samples
+    out["xla_highest_matmul_tflops"] = fl_mm / dt_mm / 1e12
+    out["knn_vs_xla_matmul"] = (
+        out["knn_tflops"] / out["xla_highest_matmul_tflops"]
+    )
+    log(
+        f"kernel: XLA HIGHEST matmul+min baseline {dt_mm:.2f}s -> "
+        f"{out['xla_highest_matmul_tflops']:.2f} TFLOP/s; fused KNN is "
+        f"{out['knn_vs_xla_matmul']:.2f}x the bare compiler matmul"
     )
 
     # --- CBS perm round ---
@@ -343,9 +391,7 @@ def kernel_benchmarks(n_samples):
         c.block_until_ready()
 
     cbs_once()  # compile
-    t0 = time.perf_counter()
-    cbs_once()
-    dt = time.perf_counter() - t0
+    dt = best_of(cbs_once)
     out["cbs_perm_rows_per_s"] = B / dt
     log(
         f"kernel: CBS perm round {B} rows x {n_pad} bins in {dt:.2f}s "
@@ -478,6 +524,9 @@ def main():
             metric(name, value, "")
         headline["knn_tflops"] = round(kernels["knn_tflops"], 2)
         headline["knn_mfu_pct"] = round(kernels["knn_mfu_pct"], 1)
+        headline["knn_vs_xla_matmul"] = round(
+            kernels["knn_vs_xla_matmul"], 2
+        )
         headline["cbs_perm_rows_per_s"] = round(
             kernels["cbs_perm_rows_per_s"]
         )
