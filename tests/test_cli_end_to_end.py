@@ -275,3 +275,59 @@ def test_cli_newref_plotyfrac(workdir, tmp_path):
     assert exc.value.code == 0
     assert os.path.exists(out_png) and os.path.getsize(out_png) > 0
     assert not os.path.exists(str(tmp_path / "nope.npz"))
+
+
+def test_cli_maskrepeats_zero(workdir):
+    """--maskrepeats 0 through BOTH CLIs: no distance masking (inf
+    cutoff), solo predict == predict-batch bins, and the result differs
+    from the default depth (the round-4 regression silently applied the
+    deepest cached cutoff instead — advisor finding)."""
+    tmp, infiles, test_path = workdir
+    ref_path = str(tmp / "reference.npz")
+    if not os.path.exists(ref_path):
+        cli_main(["newref", *infiles, ref_path, "--refsize", "25"])
+
+    solo = str(tmp / "mr0_solo")
+    cli_main(
+        ["predict", test_path, ref_path, solo,
+         "--minrefbins", "10", "--maskrepeats", "0", "--bed"]
+    )
+    outdir = str(tmp / "mr0_batch")
+    cli_main(
+        ["predict-batch", ref_path, outdir,
+         "--minrefbins", "10", "--maskrepeats", "0", "--bed",
+         "--infiles", test_path]
+    )
+    batch = os.path.join(outdir, "case")
+    solo_bins = open(solo + "_bins.bed").read()
+
+    def rows(path):
+        lines = open(path).read().strip().split("\n")
+        return [ln.split("\t") for ln in lines[1:]]
+
+    # Same tolerance story as test_cli_predict_batch: the vmapped
+    # kernel's fusion differs from the single-sample one at ~1e-15.
+    got, want = rows(batch + "_bins.bed"), rows(solo + "_bins.bed")
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        for gv, wv in zip(g[3:], w[3:]):
+            try:
+                gf, wf = float(gv), float(wv)
+            except ValueError:
+                assert gv == wv
+                continue
+            if (np.isnan(gf) and (np.isnan(wf) or abs(wf) < 1e-12)) or (
+                np.isnan(wf) and abs(gf) < 1e-12
+            ):
+                continue
+            np.testing.assert_allclose(gf, wf, rtol=1e-8, atol=1e-9)
+
+    default = str(tmp / "mr5_solo")
+    cli_main(
+        ["predict", test_path, ref_path, default,
+         "--minrefbins", "10", "--bed"]
+    )
+    # Some neighbour is beyond the depth-5 cutoff on this reference, so
+    # depth 0 (keep everything) must change at least one bin row.
+    assert solo_bins != open(default + "_bins.bed").read()
