@@ -202,3 +202,27 @@ def test_maskrepeats_zero_means_no_masking(built_reference):
     # genuinely distinguishable here.
     c5 = float(passes["A"]["wcx_cutoffs"][4])
     assert (np.asarray(dist, np.float64) >= c5).any()
+
+
+def test_weights_cache_serves_at_nondefault_maskrepeats(
+    built_reference, monkeypatch
+):
+    """wcx_weights is cutoff-independent, so it must serve at EVERY
+    maskrepeats depth — only wcx_distok is pinned to depth 5.  Pinned
+    behaviorally: with get_weights forbidden, a depth-3 loader predict
+    still succeeds (and r4 would have recomputed ~10 s of host f64
+    here)."""
+    path, passes, meta, test_sample = built_reference
+
+    def forbidden(*a, **k):
+        raise AssertionError(
+            "get_weights recomputed despite a cached wcx_weights"
+        )
+
+    monkeypatch.setattr(norm_ops, "get_weights", forbidden)
+    cfg = PredictConfig(minrefbins=10, maskrepeats=3, seed=7)
+    loader = ReferenceLoader(path)
+    out = predict_bins(
+        test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
+    )
+    assert any(np.isfinite(r).any() for r in out.results_r)

@@ -162,7 +162,11 @@ def build_pass_tables(
     When ``a_pass`` (the autosomal pass, source of the cutoff quirk) is
     given and ``cutoff`` equals its cached maskrepeats-5 value, the
     ``wcx_*`` caches serve weights and the cutoff mask — skipping the
-    distance-table scan exactly like the streamed loader."""
+    distance-table scan exactly like the streamed loader.  The weights
+    cache is cutoff-INDEPENDENT (1/mean(sqrt(d)) never sees the
+    cutoff), so it serves at every maskrepeats depth; only the
+    bit-packed ``wcx_distok`` mask is pinned to the depth it was built
+    at (the default 5)."""
     import jax
 
     ct = pass_ct(ref_pass, gender)
@@ -174,21 +178,25 @@ def build_pass_tables(
     cutoffs = np.atleast_1d(
         a_pass.get("wcx_cutoffs", [])
     ) if a_pass is not None else np.array([])
-    cached = (
+    ok_cached = (
         len(cutoffs) >= 5
         and cutoff == float(cutoffs[4])
         and "wcx_distok" in ref_pass
-        and "wcx_weights" in ref_pass
     )
-    if cached:
-        weights = np.asarray(ref_pass["wcx_weights"], np.float64)[ct:]
+    if ok_cached:
         sent = translate_with_okbits(
             idx, np.asarray(ref_pass["wcx_distok"])[ct:], ml, ct
         )
+        dist = None
     else:
         dist = np.asarray(ref_pass["distances"])[ct:]
-        weights = norm_ops.get_weights(dist)
         sent = translate_and_mask(idx, dist, ml, ct, cutoff)
+    if "wcx_weights" in ref_pass:
+        weights = np.asarray(ref_pass["wcx_weights"], np.float64)[ct:]
+    else:
+        if dist is None:
+            dist = np.asarray(ref_pass["distances"])[ct:]
+        weights = norm_ops.get_weights(dist)
     if upload:
         sent = jax.device_put(sent)
     return PassTables(sent, weights, ml, ct)
@@ -273,16 +281,23 @@ class ReferenceLoader:
 
         # With the wcx_* caches (our own newref output) and the default
         # --maskrepeats 5, the distance table is never touched: weights
-        # and the cutoff mask come from the cached members.
+        # and the cutoff mask come from the cached members.  The weights
+        # cache is cutoff-independent, so it serves at EVERY maskrepeats
+        # depth; only the bit-packed distok mask is pinned to depth 5.
         ok_t = None
         if self._use_cache and "wcx_distok" in small:
             ok_t = np.asarray(small["wcx_distok"])[ct:]
-        if ok_t is not None and "wcx_weights" in small:
-            weights = np.asarray(small["wcx_weights"], np.float64)[ct:]
-            dist_t = None
-        else:
+        dist_t = None
+        if ok_t is None:
             # The dist future was already row-sliced at ct (see start).
             dist_t = np.asarray(self._futs[("dist", gender)].result())
+        if "wcx_weights" in small:
+            weights = np.asarray(small["wcx_weights"], np.float64)[ct:]
+        else:
+            if dist_t is None:
+                dist_t = np.asarray(
+                    self._futs[("dist", gender)].result()
+                )
             with stage_timer(f"predict.load.weights_{gender}"):
                 weights = norm_ops.get_weights(dist_t)
         with stage_timer(f"predict.load.translate_{gender}"):
