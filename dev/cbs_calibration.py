@@ -52,8 +52,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "..", "tests")
+)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+from statutil import wilson_ci  # noqa: E402 (path insert above)
 
 
 def null_jobs(n, reps, weight_regime, na_regime, rng):
@@ -111,14 +116,6 @@ def power_check(n, alpha, nperm, rng, reps=50, p_method="perm"):
     cfg = CBSConfig(alpha=alpha, nperm=nperm, seed=23, p_method=p_method)
     res = _segment_jobs(jobs, cfg)
     return sum(len(r) > 1 for r in res), reps
-
-
-def wilson_ci(k, n, z=1.96):
-    p = k / n
-    den = 1 + z * z / n
-    mid = (p + z * z / (2 * n)) / den
-    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
-    return mid - half, mid + half
 
 
 def main():

@@ -4,6 +4,19 @@ import struct
 import zlib
 
 
+def bam_payload_header(refs, header_text: bytes = b"") -> bytes:
+    """The raw (uncompressed) BAM header bytes: magic, SAM text, and the
+    reference dictionary — the one layout shared by write_bam, the
+    straddling/corruption tests, and bench.py's convert benchmark."""
+    payload = b"BAM\1" + struct.pack("<i", len(header_text)) + header_text
+    payload += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nm = name.encode() + b"\0"
+        payload += struct.pack("<i", len(nm)) + nm
+        payload += struct.pack("<i", length)
+    return payload
+
+
 def bgzf_block(payload: bytes) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = co.compress(payload) + co.flush()
@@ -38,14 +51,7 @@ def bam_record(
 
 def write_bam(path, refs, records, records_per_block=3):
     """refs: list of (name, length); records: list of encoded records."""
-    header_text = b""
-    payload = b"BAM\1" + struct.pack("<i", len(header_text)) + header_text
-    payload += struct.pack("<i", len(refs))
-    for name, length in refs:
-        nm = name.encode() + b"\0"
-        payload += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
-
-    blocks = [bgzf_block(payload)]
+    blocks = [bgzf_block(bam_payload_header(refs))]
     for i in range(0, len(records), records_per_block):
         blocks.append(
             bgzf_block(b"".join(records[i : i + records_per_block]))

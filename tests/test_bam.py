@@ -145,16 +145,9 @@ def test_bam_reader_mutation_fuzz(tmp_path):
 
 def _bam_payload(refs, records):
     """The raw (uncompressed) BAM byte stream: header + records."""
-    import struct
+    import bamtools
 
-    payload = b"BAM\1" + struct.pack("<i", 0)
-    payload += struct.pack("<i", len(refs))
-    for name, length in refs:
-        nm = name.encode() + b"\0"
-        payload += (
-            struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
-        )
-    return payload + b"".join(records)
+    return bamtools.bam_payload_header(refs) + b"".join(records)
 
 
 def test_records_straddling_bgzf_blocks(tmp_path):

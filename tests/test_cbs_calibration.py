@@ -13,20 +13,13 @@ invoked by /root/reference/src/wisecondorx/include/CBS.R:70-73.
 
 import numpy as np
 
+from statutil import wilson_ci
 from wisecondorx_tpu.ops.cbs import CBSConfig, _segment_jobs
 
 ALPHA = 0.05
 NPERM = 500
 REPS = 250
 N = 400
-
-
-def _wilson(k, n, z=1.96):
-    p = k / n
-    den = 1 + z * z / n
-    mid = (p + z * z / (2 * n)) / den
-    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
-    return mid - half, mid + half
 
 
 def test_null_level_tracks_alpha_skewed_weights():
@@ -39,7 +32,7 @@ def test_null_level_tracks_alpha_skewed_weights():
     cfg = CBSConfig(alpha=ALPHA, nperm=NPERM, seed=7, p_method="perm")
     res = _segment_jobs(jobs, cfg)
     rejected = sum(len(r) > 1 for r in res)
-    lo, hi = _wilson(rejected, REPS)
+    lo, hi = wilson_ci(rejected, REPS)
     exact_target = np.floor(ALPHA * (NPERM + 1)) / (NPERM + 1)
     # Not anti-conservative: the lower CI bound must not exceed alpha.
     assert lo <= ALPHA, (rejected, REPS, lo, hi)
@@ -64,7 +57,7 @@ def test_null_level_with_na_runs():
     cfg = CBSConfig(alpha=ALPHA, nperm=NPERM, seed=11, p_method="perm")
     res = _segment_jobs(jobs, cfg)
     rejected = sum(len(r) > 1 for r in res)
-    lo, hi = _wilson(rejected, REPS)
+    lo, hi = wilson_ci(rejected, REPS)
     exact_target = np.floor(ALPHA * (NPERM + 1)) / (NPERM + 1)
     assert lo <= ALPHA, (rejected, REPS, lo, hi)
     assert hi >= exact_target, (rejected, REPS, lo, hi, exact_target)

@@ -7,6 +7,7 @@ import os
 import numpy as np
 import pytest
 
+from statutil import assert_bed_rows_close, bed_rows
 from synthetic import CohortSim
 from wisecondorx_tpu.cli import main as cli_main
 from wisecondorx_tpu.io import npz as io_npz
@@ -154,10 +155,6 @@ def test_cli_predict_batch(workdir):
         )
         batch_outid = os.path.join(outdir, name)
 
-        def rows(path):
-            lines = open(path).read().strip().split("\n")
-            return [l.split("\t") for l in lines[1:]]
-
         # segments get a looser tolerance: CBS decisions on near-alpha
         # p-values can flip under the vmap-vs-single ~1e-15 input noise,
         # nudging low-amplitude segment statistics
@@ -165,28 +162,19 @@ def test_cli_predict_batch(workdir):
             ("_bins.bed", 1e-8, 1e-9),
             ("_segments.bed", 5e-2, 5e-3),
         ):
-            got = rows(batch_outid + suffix)
-            want = rows(single_outid + suffix)
-            assert len(got) == len(want), f"{name}{suffix} row count"
-            for g, w in zip(got, want):
-                assert g[:3] == w[:3], f"{name}{suffix} coords"
-                for gv, wv in zip(g[3:], w[3:]):
-                    try:
-                        gf, wf = float(gv), float(wv)
-                    except ValueError:
-                        assert gv == wv
-                        continue
-                    # the 0 -> "nan" blacklist rule (tables.py, reference
-                    # predict_output.py) makes a bin sitting exactly at the
-                    # median log-ratio print as nan in one path and ~1e-18
-                    # in the other
-                    if (np.isnan(gf) and (np.isnan(wf) or abs(wf) < 1e-12)) \
-                            or (np.isnan(wf) and abs(gf) < 1e-12):
-                        continue
-                    np.testing.assert_allclose(gf, wf, rtol=rtol, atol=atol)
+            assert_bed_rows_close(
+                batch_outid + suffix, single_outid + suffix,
+                rtol=rtol, atol=atol,
+            )
         # aberration calls (chr + direction) must agree exactly
-        got_calls = [(r[0], r[-1]) for r in rows(batch_outid + "_aberrations.bed")]
-        want_calls = [(r[0], r[-1]) for r in rows(single_outid + "_aberrations.bed")]
+        got_calls = [
+            (r[0], r[-1])
+            for r in bed_rows(batch_outid + "_aberrations.bed")
+        ]
+        want_calls = [
+            (r[0], r[-1])
+            for r in bed_rows(single_outid + "_aberrations.bed")
+        ]
         assert got_calls == want_calls
 
 
@@ -300,28 +288,9 @@ def test_cli_maskrepeats_zero(workdir):
     )
     batch = os.path.join(outdir, "case")
     solo_bins = open(solo + "_bins.bed").read()
-
-    def rows(path):
-        lines = open(path).read().strip().split("\n")
-        return [ln.split("\t") for ln in lines[1:]]
-
     # Same tolerance story as test_cli_predict_batch: the vmapped
     # kernel's fusion differs from the single-sample one at ~1e-15.
-    got, want = rows(batch + "_bins.bed"), rows(solo + "_bins.bed")
-    assert len(got) == len(want)
-    for g, w in zip(got, want):
-        assert g[:3] == w[:3]
-        for gv, wv in zip(g[3:], w[3:]):
-            try:
-                gf, wf = float(gv), float(wv)
-            except ValueError:
-                assert gv == wv
-                continue
-            if (np.isnan(gf) and (np.isnan(wf) or abs(wf) < 1e-12)) or (
-                np.isnan(wf) and abs(gf) < 1e-12
-            ):
-                continue
-            np.testing.assert_allclose(gf, wf, rtol=1e-8, atol=1e-9)
+    assert_bed_rows_close(batch + "_bins.bed", solo + "_bins.bed")
 
     default = str(tmp / "mr5_solo")
     cli_main(

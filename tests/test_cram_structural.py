@@ -173,10 +173,10 @@ def _container_spans(raw):
 
 def _counts_or_error(path):
     try:
-        counts, _ = convert_reads(path, BINSIZE)
-        return counts
+        counts, qc = convert_reads(path, BINSIZE)
+        return counts, qc
     except Exception:
-        return None  # clean Python-level error is the contract
+        return None, None  # clean Python-level error is the contract
 
 
 def _structural_cases(raw):
@@ -234,26 +234,37 @@ def test_container_boundary_surgery(tmp_path, method):
     )
     raw = open(cram, "rb").read()
 
-    base_counts, _ = convert_reads(cram, BINSIZE)
+    base_counts, base_qc = convert_reads(cram, BINSIZE)
     for name, mutated in _structural_cases(raw):
         p = str(tmp_path / "mut.cram")
         open(p, "wb").write(mutated)
-        counts = _counts_or_error(p)
-        if name in ("drop-eof", "swap-containers"):
-            # Complete containers, all records present: counts must be
-            # bit-identical to the unmutated file (order within the
-            # dup-filter window differs for swap; totals still match
-            # because slices sit on distinct contig regions -- assert
-            # per-contig sums instead of exact bins for swap).
+        counts, qc = _counts_or_error(p)
+        if name == "drop-eof":
+            # Complete containers, all records present: bit-identical.
             assert counts is not None, name
-            if name == "drop-eof":
-                for k in base_counts:
-                    if base_counts[k] is None:
-                        assert counts[k] is None, (name, k)
-                        continue
-                    np.testing.assert_array_equal(
-                        base_counts[k], counts[k], err_msg=name
-                    )
+            for k in base_counts:
+                if base_counts[k] is None:
+                    assert counts[k] is None, (name, k)
+                    continue
+                np.testing.assert_array_equal(
+                    base_counts[k], counts[k], err_msg=name
+                )
+        elif name == "swap-containers":
+            # All records still decode; only the consecutive-start
+            # dup-filter state crossing the swapped boundary may differ,
+            # so demand identical record totals and binned sums within
+            # that boundary-effect budget (at most a few reads).
+            assert counts is not None, name
+            n_rec = qc["mapped"] + qc["unmapped"]
+            base_rec = base_qc["mapped"] + base_qc["unmapped"]
+            assert n_rec == base_rec, name
+            total = sum(
+                int(v.sum()) for v in counts.values() if v is not None
+            )
+            base_total = sum(
+                int(v.sum()) for v in base_counts.values() if v is not None
+            )
+            assert abs(total - base_total) <= 4, (name, total, base_total)
         elif name == "truncate-at-boundary":
             # A clean prefix decodes the contained slices only.
             assert counts is not None, name

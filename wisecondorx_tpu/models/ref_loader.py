@@ -227,6 +227,7 @@ class ReferenceLoader:
         self._futs: dict = {}
         self._started = False
         self._use_cache = False
+        self._inf_cutoff = False
 
     # -- internals --------------------------------------------------------
 
@@ -288,7 +289,7 @@ class ReferenceLoader:
         if self._use_cache and "wcx_distok" in small:
             ok_t = np.asarray(small["wcx_distok"])[ct:]
         dist_t = None
-        if ok_t is None:
+        if ok_t is None and not self._inf_cutoff:
             # The dist future was already row-sliced at ct (see start).
             dist_t = np.asarray(self._futs[("dist", gender)].result())
         if "wcx_weights" in small:
@@ -303,6 +304,13 @@ class ReferenceLoader:
         with stage_timer(f"predict.load.translate_{gender}"):
             if ok_t is not None:
                 sent = translate_with_okbits(idx_t, ok_t, ml, ct)
+            elif self._inf_cutoff:
+                # maskrepeats <= 0: an infinite cutoff keeps every
+                # neighbour, so no distance compare is needed at all.
+                sent = np.asarray(
+                    ml.neighbour_to_global(idx_t, row_start=ct),
+                    dtype=np.int32,
+                )
             else:
                 sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
         with stage_timer(f"predict.load.upload_{gender}"):
@@ -329,8 +337,10 @@ class ReferenceLoader:
         genders = ["A"] + ([ref_gender] if ref_gender != "A" else [])
         sub = self._pool.submit
         # The bit-packed cutoff mask is only valid at the repeats depth
-        # it was built for (the default 5).
+        # it was built for (the default 5); repeats <= 0 needs no mask
+        # at all (infinite cutoff keeps every neighbour).
         self._use_cache = maskrepeats == 5
+        self._inf_cutoff = maskrepeats <= 0
         cutoffs = self.passes["A"].get("wcx_cutoffs")
         cutoff_cached = maskrepeats <= 0 or (
             cutoffs is not None
@@ -339,10 +349,12 @@ class ReferenceLoader:
         for g in genders:
             ct = pass_ct(self.passes[g], g)
             self._futs[("idx", g)] = sub(self._member, g, "indexes", ct)
-            need_dist = not (
-                self._use_cache
-                and "wcx_distok" in self.passes[g]
-                and "wcx_weights" in self.passes[g]
+            # Distances are needed for the translate mask (unless the
+            # depth-5 okbits cache serves, or the cutoff is infinite)
+            # and for weights (unless cached — cutoff-independent).
+            need_dist = ("wcx_weights" not in self.passes[g]) or not (
+                self._inf_cutoff
+                or (self._use_cache and "wcx_distok" in self.passes[g])
             )
             if need_dist or (g == "A" and not cutoff_cached):
                 self._futs[("dist", g)] = sub(

@@ -200,12 +200,17 @@ def start_predict_warmup(ref_path, cfg=None):
                 int(np.max(h["bins_per_chr"])) for h in headers.values()
             )
             # Critical path first: nothing else traces until the A-pass
-            # normalization kernel is compiled.
-            warm_normalize_pass(headers["A"], "A")
-            logging.info(
-                "predict normalize warm-up (A) done in %.1fs",
-                time.perf_counter() - t0,
-            )
+            # normalization kernel is compiled.  A transient A-warm
+            # failure must not also forfeit the CBS warm track, so it
+            # gets its own guard.
+            try:
+                warm_normalize_pass(headers["A"], "A")
+                logging.info(
+                    "predict normalize warm-up (A) done in %.1fs",
+                    time.perf_counter() - t0,
+                )
+            except Exception as e:  # best-effort
+                logging.warning("predict A-pass warm-up failed: %s", e)
             # CBS buckets have until predict.cbs (post-normalize,
             # post-postprocess) to finish; their remote compiles overlap
             # the normalize dispatch/fetch from here.
