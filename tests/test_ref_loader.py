@@ -226,3 +226,42 @@ def test_weights_cache_serves_at_nondefault_maskrepeats(
         test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
     )
     assert any(np.isfinite(r).any() for r in out.results_r)
+
+
+def test_maskrepeats_zero_skips_distance_load(built_reference, monkeypatch):
+    """An infinite cutoff needs no distance compare and weights come
+    from the cutoff-independent cache: at maskrepeats=0 on a cached
+    reference, the loader must never read the distances member (a
+    ~1 GB decompressed load at production scale)."""
+    path, passes, meta, test_sample = built_reference
+
+    orig = ReferenceLoader._member
+
+    def guarded(self, gender, key, row_start=0):
+        assert key != "distances", "distances loaded at maskrepeats=0"
+        return orig(self, gender, key, row_start)
+
+    monkeypatch.setattr(ReferenceLoader, "_member", guarded)
+    cfg = PredictConfig(minrefbins=10, maskrepeats=0, seed=7)
+    loader = ReferenceLoader(path)
+    out = predict_bins(
+        test_sample, 100000, loader.passes, loader.meta, cfg, loader=loader
+    )
+    assert loader.cutoff() == float("inf")
+    assert any(np.isfinite(r).any() for r in out.results_r)
+
+
+def test_upload_sentinel_packed_roundtrip():
+    """The 3-byte packed sentinel upload is lossless across the value
+    range real tables produce (incl. -1 sentinels and the 24-bit
+    boundary), and out-of-range tables take the exact fallback."""
+    from wisecondorx_tpu.models.ref_loader import upload_sentinel
+
+    rng = np.random.default_rng(0)
+    t = rng.integers(-1, (1 << 24) - 1, size=(37, 25)).astype(np.int32)
+    t[0, :5] = [-1, 0, 1, (1 << 24) - 2, 12345]
+    np.testing.assert_array_equal(np.asarray(upload_sentinel(t)), t)
+
+    big = t.copy()
+    big[1, 1] = 1 << 25  # beyond the packed range -> fallback
+    np.testing.assert_array_equal(np.asarray(upload_sentinel(big)), big)

@@ -144,6 +144,54 @@ def translate_with_okbits(idx, ok_packed, ml: MaskedLayout, ct: int):
     return np.where(ok, gi, -1).astype(np.int32)
 
 
+def upload_sentinel(sent: np.ndarray):
+    """Device-resident int32 sentinel table via a 3-byte packed h2d
+    transfer.
+
+    Index values are bounded by the masked-bin count (< 2^24 even at
+    1 kb bins), so ``value + 1`` fits 24 bits (sentinel -1 becomes 0):
+    shipping 3 of each little-endian int32's 4 bytes cuts the predict
+    critical path's dominant upload by 25% losslessly; a trivial fused
+    device op rebuilds the int32 table, so every downstream consumer is
+    unchanged.  Falls back to the direct upload for out-of-range values
+    (never produced by real references)."""
+    import jax
+
+    if (
+        sent.size == 0
+        or int(sent.min()) < -1
+        or int(sent.max()) + 1 >= (1 << 24)
+    ):
+        dev = jax.device_put(sent.astype(np.int32, copy=False))
+        dev.block_until_ready()
+        return dev
+    rows, k = sent.shape
+    v = (sent + 1).astype("<i4", copy=False)
+    packed = np.ascontiguousarray(
+        v.view(np.uint8).reshape(rows, k, 4)[:, :, :3]
+    )
+    dev = _decode_sentinel(jax.device_put(packed))
+    dev.block_until_ready()
+    return dev
+
+
+def _decode_sentinel(p):
+    import jax
+
+    @jax.jit
+    def decode(p):
+        import jax.numpy as jnp
+
+        v = (
+            p[..., 0].astype(jnp.int32)
+            | (p[..., 1].astype(jnp.int32) << 8)
+            | (p[..., 2].astype(jnp.int32) << 16)
+        )
+        return v - 1
+
+    return decode(p)
+
+
 def pass_ct(ref_pass_small: dict, gender: str) -> int:
     """First target row of a pass: 0 for "A", the pre-chrX masked bin
     count for gonosomal passes (reference predict_control.py:22-29)."""
@@ -198,7 +246,7 @@ def build_pass_tables(
             dist = np.asarray(ref_pass["distances"])[ct:]
         weights = norm_ops.get_weights(dist)
     if upload:
-        sent = jax.device_put(sent)
+        sent = upload_sentinel(sent)
     return PassTables(sent, weights, ml, ct)
 
 
@@ -314,8 +362,7 @@ class ReferenceLoader:
             else:
                 sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
         with stage_timer(f"predict.load.upload_{gender}"):
-            sent_dev = jax.device_put(sent)
-            sent_dev.block_until_ready()
+            sent_dev = upload_sentinel(sent)
         logging.info(
             "streamed %s sentinel indexes (%.0f MB) to device", gender,
             sent.nbytes / 2**20,
