@@ -144,6 +144,23 @@ def translate_with_okbits(idx, ok_packed, ml: MaskedLayout, ct: int):
     return np.where(ok, gi, -1).astype(np.int32)
 
 
+def _pack_sentinel(sent: np.ndarray):
+    """3-byte packed form of an int32 sentinel table, or ``None`` when a
+    value falls outside the 24-bit range (never true of real
+    references — the masked-bin count bounds every index < 2^24)."""
+    if (
+        sent.size == 0
+        or int(sent.min()) < -1
+        or int(sent.max()) + 1 >= (1 << 24)
+    ):
+        return None
+    rows, k = sent.shape
+    v = (sent + 1).astype("<i4", copy=False)
+    return np.ascontiguousarray(
+        v.view(np.uint8).reshape(rows, k, 4)[:, :, :3]
+    )
+
+
 def upload_sentinel(sent: np.ndarray):
     """Device-resident int32 sentinel table via a 3-byte packed h2d
     transfer.
@@ -157,19 +174,11 @@ def upload_sentinel(sent: np.ndarray):
     (never produced by real references)."""
     import jax
 
-    if (
-        sent.size == 0
-        or int(sent.min()) < -1
-        or int(sent.max()) + 1 >= (1 << 24)
-    ):
+    packed = _pack_sentinel(sent)
+    if packed is None:
         dev = jax.device_put(sent.astype(np.int32, copy=False))
         dev.block_until_ready()
         return dev
-    rows, k = sent.shape
-    v = (sent + 1).astype("<i4", copy=False)
-    packed = np.ascontiguousarray(
-        v.view(np.uint8).reshape(rows, k, 4)[:, :, :3]
-    )
     dev = _decode_sentinel(jax.device_put(packed))
     dev.block_until_ready()
     return dev
@@ -349,23 +358,64 @@ class ReferenceLoader:
                 )
             with stage_timer(f"predict.load.weights_{gender}"):
                 weights = norm_ops.get_weights(dist_t)
-        with stage_timer(f"predict.load.translate_{gender}"):
+        # Chunked translate -> packed async-upload pipeline: each
+        # chunk's h2d rides the link while the next chunk translates on
+        # host (device_put is async), and one full-shape decode — the
+        # exact program the warm-up compiled — rebuilds the int32 table
+        # after a device-side concat.  The "translate" stage times the
+        # host loop (+ enqueue); "upload" times the link-wait tail.
+        import jax
+        import jax.numpy as jnp
+
+        rows, k = idx_t.shape
+
+        def translate_rows(s, e):
             if ok_t is not None:
-                sent = translate_with_okbits(idx_t, ok_t, ml, ct)
-            elif self._inf_cutoff:
+                return translate_with_okbits(
+                    idx_t[s:e], ok_t[s:e], ml, ct + s
+                )
+            if self._inf_cutoff:
                 # maskrepeats <= 0: an infinite cutoff keeps every
-                # neighbour, so no distance compare is needed at all.
-                sent = np.asarray(
-                    ml.neighbour_to_global(idx_t, row_start=ct),
+                # neighbour — no distance compare needed at all.
+                return np.asarray(
+                    ml.neighbour_to_global(idx_t[s:e], row_start=ct + s),
                     dtype=np.int32,
                 )
-            else:
-                sent = translate_and_mask(idx_t, dist_t, ml, ct, cutoff)
-        with stage_timer(f"predict.load.upload_{gender}"):
-            sent_dev = upload_sentinel(sent)
+            return translate_and_mask(
+                idx_t[s:e], dist_t[s:e], ml, ct + s, cutoff
+            )
+
+        # Translated values are global masked indexes in [-1, n_masked);
+        # packability is therefore known before translating anything.
+        if ml.n_masked >= (1 << 24) or rows == 0:
+            with stage_timer(f"predict.load.translate_{gender}"):
+                sent = translate_rows(0, rows)
+            with stage_timer(f"predict.load.upload_{gender}"):
+                sent_dev = upload_sentinel(sent)
+        else:
+            chunk = max(1, (64 << 20) // max(k * 4, 1))
+            parts = []
+            with stage_timer(f"predict.load.translate_{gender}"):
+                for s in range(0, rows, chunk):
+                    packed = _pack_sentinel(translate_rows(
+                        s, min(s + chunk, rows)
+                    ))
+                    if packed is None:  # only a corrupt index table
+                        raise RuntimeError(
+                            "sentinel index outside the 24-bit range "
+                            "despite n_masked < 2^24 — corrupt "
+                            "reference index table"
+                        )
+                    parts.append(jax.device_put(packed))  # async h2d
+            with stage_timer(f"predict.load.upload_{gender}"):
+                sent_dev = _decode_sentinel(
+                    parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0)
+                )
+                sent_dev.block_until_ready()
         logging.info(
             "streamed %s sentinel indexes (%.0f MB) to device", gender,
-            sent.nbytes / 2**20,
+            rows * k * 4 / 2**20,
         )
         return PassTables(sent_dev, weights, ml, ct)
 
