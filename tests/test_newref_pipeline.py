@@ -176,3 +176,52 @@ def test_daemon_future_propagates_errors():
     )
     with pytest.raises(RuntimeError, match="search died"):
         boom.result()
+
+
+def test_predict_consumes_reference_tool_npz(ref_modules, cohort, tmp_path):
+    """Full interchange: OUR predict (streamed loader AND in-memory)
+    consuming the npz the REFERENCE tool's own prep/part/post/merge
+    chain wrote — deflated members, its dtype/pickling choices, no
+    wcx_* caches.  The loader's row-sliced member reads must cope with
+    the reference writer's compressed members, results must match the
+    in-memory path bit-for-bit, and the planted CNV must be called."""
+    from wisecondorx_tpu.io.npz import load_reference_npz
+    from wisecondorx_tpu.models.predictor import (
+        PredictConfig,
+        predict_bins,
+        segment_bins,
+    )
+    from wisecondorx_tpu.models.ref_loader import ReferenceLoader
+
+    samples, true_genders = cohort
+    genders, cutoff, _ = train_gender_model(samples)
+    ref_path = _run_reference_newref(
+        ref_modules, tmp_path, samples, genders, cutoff
+    )
+
+    sim = CohortSim(binsize=1e5, genome_scale=0.006, seed=21)
+    test_sample = sim.sample("F", cnvs=[(11, 1, 10, 3.0)])
+
+    cfg = PredictConfig(minrefbins=10, seed=7)
+    ref_passes, ref_meta = load_reference_npz(ref_path)
+    mem = predict_bins(
+        dict(test_sample), 100000, ref_passes, ref_meta, cfg
+    )
+    loader = ReferenceLoader(ref_path)
+    via_loader = predict_bins(
+        dict(test_sample), 100000, loader.passes, loader.meta, cfg,
+        loader=loader,
+    )
+    for c in range(len(mem.results_r)):
+        np.testing.assert_array_equal(
+            mem.results_r[c], via_loader.results_r[c], err_msg=str(c)
+        )
+        np.testing.assert_array_equal(
+            mem.results_z[c], via_loader.results_z[c], err_msg=str(c)
+        )
+
+    segments = segment_bins(mem, cfg)
+    # The planted gain on chromosome index 10 (chr11) shows up as a
+    # clearly elevated segment (split out or whole-chromosome).
+    chr11 = [row for row in segments if row[0] == 10]
+    assert chr11 and max(row[4] for row in chr11) > 0.25, segments
