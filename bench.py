@@ -469,8 +469,16 @@ def main():
             )
         )
         predict_stages = stages
-        aber = open(outid + "_aberrations.bed").read().strip().split("\n")
-        log(f"aberrations called: {aber[1:] if len(aber) > 1 else 'NONE'}")
+        try:
+            aber = open(
+                outid + "_aberrations.bed"
+            ).read().strip().split("\n")
+            log(
+                "aberrations called: "
+                f"{aber[1:] if len(aber) > 1 else 'NONE'}"
+            )
+        except OSError as e:  # the rep's timing already counted
+            log(f"aberrations read failed: {e}")
     if not predict_walls:
         raise RuntimeError("every predict rep failed")
     predict_walls.sort()

@@ -147,7 +147,12 @@ def translate_with_okbits(idx, ok_packed, ml: MaskedLayout, ct: int):
 def _pack_sentinel(sent: np.ndarray):
     """3-byte packed form of an int32 sentinel table, or ``None`` when a
     value falls outside the 24-bit range (never true of real
-    references — the masked-bin count bounds every index < 2^24)."""
+    references — the masked-bin count bounds every index < 2^24).
+
+    Encoding contract (value+1, little-endian low 3 bytes, -1 -> 0) is
+    shared with the mirror-direction pair in ops/knn_pallas.py
+    (_pack_result_idx device-side / _unpack_result_idx host-side); a
+    change here must change there."""
     if (
         sent.size == 0
         or int(sent.min()) < -1
@@ -184,21 +189,66 @@ def upload_sentinel(sent: np.ndarray):
     return dev
 
 
-def _decode_sentinel(p):
-    import jax
+#: Cached jitted decoder — jax.jit's compile cache hangs off the wrapper
+#: OBJECT, so a fresh closure per call would retrace and recompile every
+#: upload (and make the warm-up's pre-compile a no-op).
+_DECODE_JIT = None
 
-    @jax.jit
-    def decode(p):
+
+def _decode_sentinel(p):
+    global _DECODE_JIT
+    if _DECODE_JIT is None:
+        import jax
         import jax.numpy as jnp
 
-        v = (
-            p[..., 0].astype(jnp.int32)
-            | (p[..., 1].astype(jnp.int32) << 8)
-            | (p[..., 2].astype(jnp.int32) << 16)
-        )
-        return v - 1
+        @jax.jit
+        def decode(p):
+            v = (
+                p[..., 0].astype(jnp.int32)
+                | (p[..., 1].astype(jnp.int32) << 8)
+                | (p[..., 2].astype(jnp.int32) << 16)
+            )
+            return v - 1
 
-    return decode(p)
+        _DECODE_JIT = decode
+    return _DECODE_JIT(p)
+
+
+def _upload_chunk_rows(k: int) -> int:
+    """Row count per 64 MB chunk of the streamed sentinel upload — one
+    formula shared by the production pipeline and its warm-up."""
+    return max(1, (64 << 20) // max(k * 4, 1))
+
+
+def _assemble_packed(parts):
+    """Concat packed chunk parts on device and decode to the int32
+    table (the tail of the streamed upload; also run by the warm-up so
+    neither the concat nor the decode compiles inside the timed
+    stage)."""
+    import jax.numpy as jnp
+
+    dev = _decode_sentinel(
+        parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    )
+    dev.block_until_ready()
+    return dev
+
+
+def warm_upload_path(rows: int, k: int) -> None:
+    """Compile every program of the streamed sentinel upload for a pass
+    of ``rows`` target rows (shape-faithful zero run)."""
+    import jax
+
+    if rows <= 0:
+        return
+    chunk = _upload_chunk_rows(k)
+    parts = [
+        jax.device_put(
+            np.zeros((min(s + chunk, rows) - s, k, 3), np.uint8)
+        )
+        for s in range(0, rows, chunk)
+    ]
+    _assemble_packed(parts)
 
 
 def pass_ct(ref_pass_small: dict, gender: str) -> int:
@@ -365,7 +415,6 @@ class ReferenceLoader:
         # after a device-side concat.  The "translate" stage times the
         # host loop (+ enqueue); "upload" times the link-wait tail.
         import jax
-        import jax.numpy as jnp
 
         rows, k = idx_t.shape
 
@@ -393,7 +442,7 @@ class ReferenceLoader:
             with stage_timer(f"predict.load.upload_{gender}"):
                 sent_dev = upload_sentinel(sent)
         else:
-            chunk = max(1, (64 << 20) // max(k * 4, 1))
+            chunk = _upload_chunk_rows(k)
             parts = []
             with stage_timer(f"predict.load.translate_{gender}"):
                 for s in range(0, rows, chunk):
@@ -408,11 +457,7 @@ class ReferenceLoader:
                         )
                     parts.append(jax.device_put(packed))  # async h2d
             with stage_timer(f"predict.load.upload_{gender}"):
-                sent_dev = _decode_sentinel(
-                    parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=0)
-                )
-                sent_dev.block_until_ready()
+                sent_dev = _assemble_packed(parts)
         logging.info(
             "streamed %s sentinel indexes (%.0f MB) to device", gender,
             rows * k * 4 / 2**20,

@@ -324,7 +324,6 @@ def _finalize(vals, idx, drop, *, ref_size: int, row_tile: int = 256,
 
 
 @jax.jit
-@jax.jit
 def _pack_result_idx(tv, ti):
     """3-byte little-endian pack of (index + 1) for the d2h fetch, with
     unfilled slots (non-finite value) pre-folded to -1 -> 0.
@@ -333,7 +332,12 @@ def _pack_result_idx(tv, ti):
     (< 2^24 at any real bin size), so 3 of the int32's 4 bytes carry the
     full value losslessly — 25% fewer bytes on the index stream of the
     ~half-GB newref result download (the fetch is the newref wall on
-    degraded tunnel links; see ROADMAP round-5 notes)."""
+    degraded tunnel links; see ROADMAP round-5 notes).
+
+    Encoding contract (value+1, little-endian low 3 bytes, -1 -> 0) is
+    shared with the mirror-direction pair in models/ref_loader.py
+    (_pack_sentinel host-side / _decode_sentinel device-side); a change
+    here must change there."""
     v = jnp.where(jnp.isfinite(tv), ti, -1) + 1
     return jnp.stack(
         [
@@ -353,6 +357,7 @@ def _unpack_result_idx(packed: np.ndarray) -> np.ndarray:
     return out4.view("<i4")[..., 0] - 1
 
 
+@jax.jit
 def _exact_row_distances(rows, rnorm, rchr, data, cnorm, cchr, n_valid,
                          sentinel):
     """Dense masked distances for verification-flagged rows.
@@ -745,7 +750,7 @@ def knn_search_pallas(
         span = slice(skip, skip + ce - cs)
         tv = fetched[2 * k][span]
         ti = (
-            _unpack_result_idx(fetched[2 * k + 1])[span]
+            _unpack_result_idx(fetched[2 * k + 1][span])
             if pack_ok
             else fetched[2 * k + 1][span]
         )

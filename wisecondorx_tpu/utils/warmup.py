@@ -178,7 +178,7 @@ def start_predict_warmup(ref_path, cfg=None):
     def warm_normalize_pass(h, gender):
         import jax.numpy as jnp
 
-        from wisecondorx_tpu.models.ref_loader import _decode_sentinel
+        from wisecondorx_tpu.models.ref_loader import warm_upload_path
         from wisecondorx_tpu.ops.normalize import _normalize_repeat_kernel
         from wisecondorx_tpu.ops.pca import project_sample
 
@@ -188,9 +188,10 @@ def start_predict_warmup(ref_path, cfg=None):
         test = jnp.asarray(np.zeros(n))
         gi = jnp.asarray(np.zeros((n - ct, k), np.int32))
         _normalize_repeat_kernel(test, gi, ct=ct)
-        # The packed sentinel upload's decode program (exact shape) —
-        # otherwise its first compile lands inside the upload stage.
-        _decode_sentinel(jnp.zeros((n - ct, k, 3), jnp.uint8))
+        # The streamed sentinel upload's chunked concat + decode
+        # programs (exact shapes) — otherwise their first compiles land
+        # inside the upload stage.
+        warm_upload_path(n - ct, k)
         comps = jnp.asarray(np.zeros((5, n)))
         project_sample(test, comps, jnp.asarray(np.zeros(n)))
 
