@@ -279,3 +279,34 @@ def test_container_boundary_surgery(tmp_path, method):
             # Hostile structure: clean error, or (duplicate) valid
             # counts; hangs/crashes would fail the run itself.
             assert counts is None or isinstance(counts, dict), name
+
+
+def test_cli_convert_cram(tmp_path):
+    """The convert CLI end-to-end on a CRAM input: npz output equals the
+    equivalent BAM's npz byte-for-byte in content (reference main.py:29-37
+    accepts .cram through the same command)."""
+    from wisecondorx_tpu.cli import main as cli_main
+
+    slices = _records(n_slices=3, per_slice=20)
+    bam = _equivalent_bam(tmp_path, slices)
+    cram = str(tmp_path / "in.cram")
+    cramtools.write_cram(cram, REFS, slices, method="gzip",
+                         slices_per_container=2)
+
+    out_bam = str(tmp_path / "from_bam.npz")
+    out_cram = str(tmp_path / "from_cram.npz")
+    cli_main(["convert", bam, out_bam, "--binsize", "5000"])
+    cli_main(["convert", cram, out_cram, "--binsize", "5000"])
+
+    a = np.load(out_bam, allow_pickle=True, encoding="latin1")
+    b = np.load(out_cram, allow_pickle=True, encoding="latin1")
+    assert set(a.keys()) == set(b.keys())
+    sa, sb = a["sample"].item(), b["sample"].item()
+    assert set(sa) == set(sb)
+    for kk in sa:
+        if sa[kk] is None:
+            assert sb[kk] is None, kk
+        else:
+            np.testing.assert_array_equal(sa[kk], sb[kk], err_msg=kk)
+    assert a["quality"].item() == b["quality"].item()
+    assert int(a["binsize"]) == int(b["binsize"]) == 5000
